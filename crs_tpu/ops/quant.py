@@ -1,0 +1,127 @@
+"""Scalar (int8) vector quantization and the quantized top-k scan.
+
+The int8 index format of the vector store (BASELINE.json config #3): corpus
+vectors are stored as per-vector-scaled int8 codes (4x smaller than fp32),
+the scan runs on the MXU's native int8 path (int8×int8→int32 accumulate),
+and the top ``rescore_k`` candidates are re-scored against the fp32 query
+using dequantized vectors — recovering the precision lost to *query*
+quantization so recall matches the exact path.
+
+Also hosts the generic tensor quantizers used for weight-only quantized
+models (per-channel int8, group-wise int4) — the TPU-native equivalents of
+the reference's GPTQ/AWQ/HQQ dependency kernels
+(``models/{gptq,awq,hqq}_model.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "scalar_quantize",
+    "scalar_dequantize",
+    "int8_topk",
+    "quantize_int8_rowwise",
+    "quantize_int4_grouped",
+    "dequantize_int4_grouped",
+]
+
+NEG_INF = jnp.float32(-1e30)
+
+
+@jax.jit
+def scalar_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8: returns (codes int8 [N, D], scales f32 [N])."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scales = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(x / scales[:, None]), -127, 127).astype(jnp.int8)
+    return codes, scales.astype(jnp.float32)
+
+
+@jax.jit
+def scalar_dequantize(codes: jax.Array, scales: jax.Array) -> jax.Array:
+    return codes.astype(jnp.float32) * scales[:, None]
+
+
+@partial(jax.jit, static_argnames=("k", "rescore_k"))
+def int8_topk(
+    codes: jax.Array,  # [N, D] int8
+    scales: jax.Array,  # [N] f32
+    queries: jax.Array,  # [B, D] f32 (L2-normalized)
+    k: int,
+    valid_n: jax.Array | int | None = None,
+    rescore_k: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 MXU scan + optional fp32 exact rescore of top candidates.
+
+    With ``rescore_k > k``: scan selects ``rescore_k`` candidates using the
+    fully-quantized dot, then candidates are dequantized and re-scored
+    against the *fp32* query; the final top-k ordering comes from the
+    rescored values.
+    """
+    n = codes.shape[0]
+    q_codes, q_scales = scalar_quantize(queries)
+    acc = jax.lax.dot_general(
+        q_codes,
+        codes.T,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, N] int32
+    approx = acc.astype(jnp.float32) * q_scales[:, None] * scales[None, :]
+    if valid_n is not None:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        approx = jnp.where(row_ids < valid_n, approx, NEG_INF)
+
+    if rescore_k <= k:
+        s, i = jax.lax.top_k(approx, min(k, n))
+        return s, i.astype(jnp.int32)
+
+    cand_k = min(rescore_k, n)
+    cand_scores, cand_ids = jax.lax.top_k(approx, cand_k)  # [B, cand_k]
+    cand_vecs = codes[cand_ids].astype(jnp.float32) * scales[cand_ids][..., None]
+    exact = jnp.einsum("bd,bcd->bc", queries, cand_vecs, preferred_element_type=jnp.float32)
+    exact = jnp.where(cand_scores <= NEG_INF / 2, NEG_INF, exact)
+    top_s, sel = jax.lax.top_k(exact, min(k, cand_k))
+    top_i = jnp.take_along_axis(cand_ids, sel, axis=1)
+    return top_s, top_i.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Weight-only quantization for model parameters
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def quantize_int8_rowwise(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel int8 for a [in, out] weight: scales along axis 0."""
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scales = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.clip(jnp.round(w / scales[None, :]), -127, 127).astype(jnp.int8)
+    return codes, scales.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("group_size",))
+def quantize_int4_grouped(w: jax.Array, group_size: int = 128) -> Tuple[jax.Array, jax.Array]:
+    """Group-wise symmetric int4 along the input dim of a [in, out] weight.
+
+    Codes are stored unpacked in int8 (values in [-7, 7]); scales are
+    [in/group_size, out]. (Packing two nibbles per byte is a storage-size
+    optimization handled at serialization time; compute always unpacks.)
+    """
+    kin, kout = w.shape
+    assert kin % group_size == 0, "input dim must be divisible by group_size"
+    grouped = w.reshape(kin // group_size, group_size, kout)
+    amax = jnp.max(jnp.abs(grouped), axis=1)  # [G, out]
+    scales = jnp.maximum(amax, 1e-12) / 7.0
+    codes = jnp.clip(jnp.round(grouped / scales[:, None, :]), -7, 7).astype(jnp.int8)
+    return codes.reshape(kin, kout), scales.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("group_size",))
+def dequantize_int4_grouped(codes: jax.Array, scales: jax.Array, group_size: int = 128) -> jax.Array:
+    kin, kout = codes.shape
+    grouped = codes.reshape(kin // group_size, group_size, kout).astype(jnp.float32)
+    return (grouped * scales[:, None, :]).reshape(kin, kout)

@@ -1,0 +1,101 @@
+"""ICI-sharded corpus scan: per-shard top-k + allgather merge.
+
+The multi-chip retrieval path (BASELINE.json config #5, SURVEY.md §2c/§5):
+corpus vectors are sharded row-wise across the mesh's ``corpus`` axis;
+queries are replicated; each shard runs the local fused top-k scan; the
+per-shard (scores, global-ids) pairs ride ICI via ``jax.lax.all_gather`` and
+a replicated merge-top-k produces the global result. Empty/padded shards
+contribute ``-inf`` scores and are excluded by construction (the reference's
+empty-result guards: ``rag/indexing.py:147-149``, ``rag/retrieval.py:124-127``).
+
+Works identically on a 1-device mesh (single chip) and on an
+``xla_force_host_platform_device_count`` CPU mesh (CI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.topk import NEG_INF
+
+__all__ = ["shard_corpus", "sharded_topk"]
+
+
+def shard_corpus(
+    vectors: np.ndarray, mesh: Mesh, axis_name: str = "corpus"
+) -> Tuple[jax.Array, int]:
+    """Pad rows to a multiple of mesh size and shard across devices.
+
+    Returns (sharded array [Np, D], valid_n). Row padding is zeros, which the
+    scan masks out via ``valid_n``.
+    """
+    n = vectors.shape[0]
+    num = mesh.devices.size
+    per = -(-n // num)
+    padded = per * num
+    if padded != n:
+        vectors = np.concatenate(
+            [vectors, np.zeros((padded - n,) + vectors.shape[1:], vectors.dtype)]
+        )
+    arr = jax.device_put(
+        vectors, NamedSharding(mesh, P(axis_name, *([None] * (vectors.ndim - 1))))
+    )
+    return arr, n
+
+
+@partial(jax.jit, static_argnames=("k", "axis_name", "mesh"))
+def _sharded_topk_impl(vectors, queries, valid_n, k: int, mesh: Mesh, axis_name: str):
+    num_shards = mesh.shape[axis_name]
+    per_shard = vectors.shape[0] // num_shards
+
+    def local_scan(v_local, q, valid):
+        # v_local: [per_shard, D]; q replicated [B, D]
+        shard_idx = jax.lax.axis_index(axis_name)
+        offset = shard_idx * per_shard
+        scores = jnp.dot(
+            q.astype(v_local.dtype),
+            v_local.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, per_shard]
+        local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, per_shard), 1) + offset
+        scores = jnp.where(local_ids < valid, scores, NEG_INF)
+        k_local = min(k, per_shard)
+        s, i = jax.lax.top_k(scores, k_local)
+        gids = jnp.take_along_axis(jnp.broadcast_to(local_ids, scores.shape), i, axis=1)
+        # allgather along the corpus axis → [S, B, k_local] on every shard
+        all_s = jax.lax.all_gather(s, axis_name)
+        all_i = jax.lax.all_gather(gids, axis_name)
+        b = q.shape[0]
+        flat_s = all_s.transpose(1, 0, 2).reshape(b, -1)
+        flat_i = all_i.transpose(1, 0, 2).reshape(b, -1)
+        top_s, sel = jax.lax.top_k(flat_s, min(k, flat_s.shape[1]))
+        top_i = jnp.take_along_axis(flat_i, sel, axis=1)
+        return top_s, top_i
+
+    return jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(vectors, queries, valid_n)
+
+
+def sharded_topk(
+    vectors: jax.Array,  # [Np, D] sharded on rows (from shard_corpus)
+    queries: jax.Array,  # [B, D] replicated
+    k: int,
+    valid_n: int,
+    mesh: Mesh,
+    axis_name: str = "corpus",
+) -> Tuple[jax.Array, jax.Array]:
+    """Global exact top-k over the sharded corpus. Returns ([B,k], [B,k])."""
+    valid = jnp.asarray(valid_n, jnp.int32)
+    return _sharded_topk_impl(vectors, queries, valid, k, mesh, axis_name)

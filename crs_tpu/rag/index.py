@@ -1,0 +1,318 @@
+"""HBM-resident compressed vector store.
+
+TPU-native replacement for the reference's ChromaDB-backed ``VectorStore``
+(``rag/indexing.py:14-211``): instead of a CPU-side HNSW graph, the corpus
+lives on device as dense arrays in one of four formats — answering the same
+query signature so benchmarks compare formats exactly like the reference
+compares model quantizations (SURVEY.md §7 "engine variants as index
+formats"):
+
+- ``fp32`` / ``bf16`` — exact cosine scan (the golden path),
+- ``int8``  — per-vector scalar quantization, int8 MXU scan + fp32 rescore,
+- ``pq``    — product-quantization codebooks, ADC LUT scan + exact rescore
+  against int8 codes kept alongside (compression still ≥3x vs fp32).
+
+API parity with the reference store: ``create_index(chunks, embeddings)``
+(:57-123), ``search(query_embedding, top_k, where)`` returning
+ids/documents/metadatas/distances (:125-180), ``delete``/``reset``/
+``get_stats`` (:182-211), plus persistence (save/load) replacing ChromaDB's
+``persist_directory`` behavior (:30-37).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.pq import PQCodebook, pq_adc_topk, pq_encode, train_pq
+from ..ops.quant import int8_topk, scalar_quantize
+from ..ops.topk import blockwise_topk, exact_topk
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["VectorStore", "INDEX_FORMATS"]
+
+INDEX_FORMATS = ("fp32", "bf16", "int8", "pq")
+
+
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    n = arr.shape[0]
+    padded = -(-n // multiple) * multiple
+    if padded == n:
+        return arr
+    pad = np.zeros((padded - n,) + arr.shape[1:], arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+class VectorStore:
+    """Stateful shell around the on-device index arrays + host metadata."""
+
+    def __init__(self, config: Optional[Dict[str, Any]] = None):
+        config = config or {}
+        self.format = config.get("format", "fp32")
+        if self.format not in INDEX_FORMATS:
+            raise ValueError(f"unknown index format: {self.format}")
+        self.block_size = int(config.get("block_size", 1024))
+        self.persist_directory = config.get("persist_directory")
+        self.rescore_k = int(config.get("rescore_k", 64))
+        self.pq_subspaces = int(config.get("pq_subspaces", 8))
+        self.pq_clusters = int(config.get("pq_clusters", 256))
+        self.pq_iters = int(config.get("pq_iters", 25))
+        self.seed = int(config.get("seed", 0))
+        self._clear()
+        if self.persist_directory and os.path.exists(
+            os.path.join(self.persist_directory, "index_meta.json")
+        ):
+            self.load(self.persist_directory)
+
+    def _clear(self) -> None:
+        self.n = 0
+        self.dim = 0
+        self.ids: List[str] = []
+        self.documents: List[str] = []
+        self.metadatas: List[Dict[str, Any]] = []
+        self._vectors: Optional[jax.Array] = None  # fp32/bf16 formats
+        self._codes: Optional[jax.Array] = None  # int8 codes (int8/pq rescore)
+        self._scales: Optional[jax.Array] = None
+        self._pq_codebook: Optional[PQCodebook] = None
+        self._pq_codes: Optional[jax.Array] = None
+
+    # -- build -------------------------------------------------------------
+    def create_index(
+        self,
+        chunks: Sequence[Any],
+        embeddings: np.ndarray,
+        ids: Optional[Sequence[str]] = None,
+    ) -> None:
+        """Build the index from chunks + their embeddings (reference :57-123)."""
+        if len(chunks) != embeddings.shape[0]:
+            raise ValueError("chunks and embeddings length mismatch")
+        if embeddings.ndim != 2:
+            raise ValueError("embeddings must be [N, D]")
+        self._clear()
+        self.n = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        for i, c in enumerate(chunks):
+            if hasattr(c, "text"):
+                self.ids.append(c.chunk_id)
+                self.documents.append(c.text)
+                self.metadatas.append(c.to_metadata())
+            else:
+                self.ids.append(ids[i] if ids else f"chunk_{i}")
+                self.documents.append(str(c))
+                self.metadatas.append({})
+        emb = np.asarray(embeddings, np.float32)
+        padded = _pad_rows(emb, self.block_size)
+        self._build_device_arrays(padded)
+        logger.info("Indexed %d vectors (dim=%d, format=%s)", self.n, self.dim, self.format)
+        if self.persist_directory:
+            self.save(self.persist_directory)
+
+    def _build_device_arrays(self, padded: np.ndarray) -> None:
+        if self.format == "fp32":
+            self._vectors = jnp.asarray(padded, jnp.float32)
+        elif self.format == "bf16":
+            self._vectors = jnp.asarray(padded, jnp.bfloat16)
+        elif self.format == "int8":
+            codes, scales = scalar_quantize(jnp.asarray(padded, jnp.float32))
+            self._codes, self._scales = codes, scales
+        elif self.format == "pq":
+            vecs = jnp.asarray(padded, jnp.float32)
+            key = jax.random.PRNGKey(self.seed)
+            valid = vecs[: self.n] if self.n > 0 else vecs
+            self._pq_codebook = train_pq(
+                key, valid, self.pq_subspaces, self.pq_clusters, self.pq_iters
+            )
+            self._pq_codes = pq_encode(self._pq_codebook, vecs)
+            # int8 codes kept for exact-ish rescore (still 4x smaller than fp32)
+            codes, scales = scalar_quantize(vecs)
+            self._codes, self._scales = codes, scales
+
+    # -- query -------------------------------------------------------------
+    def search_batch(
+        self,
+        query_embeddings: np.ndarray,  # [B, D]
+        top_k: int = 3,
+        where: Optional[Dict[str, Any]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched top-k. Returns (scores [B, k] cosine sim, ids [B, k] int)."""
+        if self.n == 0:
+            b = query_embeddings.shape[0]
+            return np.zeros((b, 0), np.float32), np.zeros((b, 0), np.int32)
+        q = jnp.asarray(query_embeddings, jnp.float32)
+        k = min(top_k, self.n)
+        if where:
+            return self._masked_search(q, k, where)
+        if self.format in ("fp32", "bf16"):
+            if self._vectors.shape[0] > 65536:
+                s, i = blockwise_topk(self._vectors, q, k, self.n)
+            else:
+                s, i = exact_topk(self._vectors, q, k, self.n)
+        elif self.format == "int8":
+            s, i = int8_topk(
+                self._codes, self._scales, q, k, self.n,
+                rescore_k=max(self.rescore_k, k),
+            )
+        else:  # pq: ADC scan for candidates, int8-dequant rescore
+            cand_k = min(max(self.rescore_k, k), self.n)
+            _, cand = pq_adc_topk(self._pq_codebook, self._pq_codes, q, cand_k, self.n)
+            s, i = _rescore(self._codes, self._scales, q, cand, k)
+        return np.asarray(s), np.asarray(i)
+
+    def _masked_search(self, q: jax.Array, k: int, where: Dict[str, Any]):
+        """Metadata-filtered search: host-built row mask + masked exact scan."""
+        mask = np.zeros(( self._padded_rows(),), np.float32)
+        allowed = [
+            idx for idx, md in enumerate(self.metadatas)
+            if all(md.get(key) == val for key, val in where.items())
+        ]
+        mask[allowed] = 1.0
+        vecs = self._dense_vectors()
+        scores = jnp.dot(q, vecs.T, preferred_element_type=jnp.float32)
+        scores = jnp.where(jnp.asarray(mask)[None, :] > 0, scores, -1e30)
+        s, i = jax.lax.top_k(scores, min(k, max(len(allowed), 1)))
+        return np.asarray(s), np.asarray(i, np.int32)
+
+    def _dense_vectors(self) -> jax.Array:
+        if self._vectors is not None:
+            return self._vectors.astype(jnp.float32)
+        return self._codes.astype(jnp.float32) * self._scales[:, None]
+
+    def get_vectors(self, row_ids: np.ndarray) -> np.ndarray:
+        """Dense fp32 embeddings for given row indices (dequantized if needed).
+
+        Used by MMR: the index already holds every chunk's embedding, so
+        diversity re-ranking needs no re-embedding (unlike reference
+        ``rag/retrieval.py:237-239``).
+        """
+        rows = jnp.asarray(np.asarray(row_ids, np.int32))
+        if self._vectors is not None:
+            return np.asarray(self._vectors[rows].astype(jnp.float32))
+        return np.asarray(
+            self._codes[rows].astype(jnp.float32) * self._scales[rows][..., None]
+        )
+
+    def _padded_rows(self) -> int:
+        for arr in (self._vectors, self._codes, self._pq_codes):
+            if arr is not None:
+                return arr.shape[0]
+        return 0
+
+    def search(
+        self,
+        query_embedding: np.ndarray,  # [D] or [1, D]
+        top_k: int = 3,
+        where: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, List[List[Any]]]:
+        """Single-query search with the reference's result envelope (:125-180)."""
+        q = np.asarray(query_embedding, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        scores, idxs = self.search_batch(q, top_k=top_k, where=where)
+        out_ids, out_docs, out_md, out_dist, out_sim = [], [], [], [], []
+        for row_s, row_i in zip(scores, idxs):
+            keep = [(s, i) for s, i in zip(row_s, row_i) if 0 <= i < self.n and s > -1e29]
+            out_ids.append([self.ids[i] for _, i in keep])
+            out_docs.append([self.documents[i] for _, i in keep])
+            out_md.append([self.metadatas[i] for _, i in keep])
+            out_sim.append([float(s) for s, _ in keep])
+            out_dist.append([1.0 - float(s) for s, _ in keep])
+        return {
+            "ids": out_ids,
+            "documents": out_docs,
+            "metadatas": out_md,
+            "similarities": out_sim,
+            "distances": out_dist,
+        }
+
+    # -- management (reference :182-211) ------------------------------------
+    def delete_collection(self) -> None:
+        self._clear()
+
+    def reset(self) -> None:
+        self._clear()
+
+    def get_stats(self) -> Dict[str, Any]:
+        stats = {
+            "num_vectors": self.n,
+            "embedding_dim": self.dim,
+            "format": self.format,
+            "memory_bytes": self.memory_bytes(),
+        }
+        return stats
+
+    def memory_bytes(self) -> int:
+        total = 0
+        for arr in (self._vectors, self._codes, self._scales, self._pq_codes):
+            if arr is not None:
+                total += arr.size * arr.dtype.itemsize
+        if self._pq_codebook is not None:
+            c = self._pq_codebook.centroids
+            total += c.size * c.dtype.itemsize
+        return total
+
+    # -- persistence --------------------------------------------------------
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        arrays: Dict[str, np.ndarray] = {}
+        for name in ("_vectors", "_codes", "_scales", "_pq_codes"):
+            arr = getattr(self, name)
+            if arr is not None:
+                arrays[name.lstrip("_")] = np.asarray(
+                    arr.astype(jnp.float32) if arr.dtype == jnp.bfloat16 else arr
+                )
+        if self._pq_codebook is not None:
+            arrays["pq_centroids"] = np.asarray(self._pq_codebook.centroids)
+        np.savez_compressed(os.path.join(directory, "index_arrays.npz"), **arrays)
+        meta = {
+            "n": self.n,
+            "dim": self.dim,
+            "format": self.format,
+            "block_size": self.block_size,
+            "ids": self.ids,
+            "documents": self.documents,
+            "metadatas": self.metadatas,
+        }
+        with open(os.path.join(directory, "index_meta.json"), "w") as f:
+            json.dump(meta, f)
+        logger.info("Saved index (%d vectors) to %s", self.n, directory)
+
+    def load(self, directory: str) -> None:
+        with open(os.path.join(directory, "index_meta.json")) as f:
+            meta = json.load(f)
+        arrays = np.load(os.path.join(directory, "index_arrays.npz"))
+        self.n = meta["n"]
+        self.dim = meta["dim"]
+        self.format = meta["format"]
+        self.block_size = meta.get("block_size", self.block_size)
+        self.ids = meta["ids"]
+        self.documents = meta["documents"]
+        self.metadatas = meta["metadatas"]
+        self._vectors = self._codes = self._scales = None
+        self._pq_codes = self._pq_codebook = None
+        if "vectors" in arrays:
+            dtype = jnp.bfloat16 if self.format == "bf16" else jnp.float32
+            self._vectors = jnp.asarray(arrays["vectors"], dtype)
+        if "codes" in arrays:
+            self._codes = jnp.asarray(arrays["codes"], jnp.int8)
+            self._scales = jnp.asarray(arrays["scales"], jnp.float32)
+        if "pq_codes" in arrays:
+            self._pq_codes = jnp.asarray(arrays["pq_codes"], jnp.int32)
+            self._pq_codebook = PQCodebook(jnp.asarray(arrays["pq_centroids"], jnp.float32))
+        logger.info("Loaded index (%d vectors, %s) from %s", self.n, self.format, directory)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _rescore(codes, scales, queries, cand_ids, k):
+    """Exact-ish rescore of candidate ids against int8-dequantized vectors."""
+    cand_vecs = codes[cand_ids].astype(jnp.float32) * scales[cand_ids][..., None]
+    exact = jnp.einsum("bd,bcd->bc", queries, cand_vecs, preferred_element_type=jnp.float32)
+    s, sel = jax.lax.top_k(exact, min(k, cand_ids.shape[1]))
+    return s, jnp.take_along_axis(cand_ids, sel, axis=1).astype(jnp.int32)

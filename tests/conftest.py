@@ -7,12 +7,20 @@ jax at collection time outside a fixture/test body.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set (not setdefault): the image exports JAX_PLATFORMS=axon (the real
+# TPU tunnel) and its sitecustomize additionally calls
+# jax.config.update("jax_platforms", "axon,cpu") in every interpreter — so
+# the env var alone is NOT enough; we must update jax.config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,160 @@
+"""Retriever tests + the minimum end-to-end slice on the bundled corpus."""
+
+import json
+
+import numpy as np
+import pytest
+
+from crs_tpu.rag.chunking import Chunk, TextChunker
+from crs_tpu.rag.document_processing import DocumentProcessor
+from crs_tpu.rag.embedding import EmbeddingModel
+from crs_tpu.rag.index import VectorStore
+from crs_tpu.rag.retrieval import ContextRetriever, distance_to_similarity
+
+
+def _mini_corpus():
+    texts = [
+        "Quantization reduces the precision of model weights to int8 or int4.",
+        "Pruning removes unimportant weights from neural networks.",
+        "Knowledge distillation transfers knowledge from teacher to student models.",
+        "The capital of France is Paris, a city known for the Eiffel Tower.",
+        "Low-rank factorization decomposes weight matrices into smaller ones.",
+        "GPTQ is a post-training quantization method using second-order information.",
+    ]
+    chunks = [Chunk(text=t, chunk_id=f"chunk_{i}", page_number=i, tokens=len(t.split())) for i, t in enumerate(texts)]
+    return chunks
+
+
+@pytest.fixture(scope="module")
+def retriever():
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 128})
+    store = VectorStore({"format": "fp32", "block_size": 128})
+    chunks = _mini_corpus()
+    store.create_index(chunks, em.embed_chunks(chunks))
+    return ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": 0.05})
+
+
+def test_retrieve_relevant(retriever):
+    res = retriever.retrieve("how does quantization reduce weight precision?")
+    assert res, "nothing retrieved"
+    assert "uantization" in res[0]["text"]
+    assert res[0]["score"] > 0.05
+    assert set(res[0]) >= {"id", "text", "metadata", "score"}
+
+
+def test_retrieve_batch_matches_single(retriever):
+    queries = ["what is pruning?", "tell me about distillation"]
+    batch = retriever.retrieve_batch(queries)
+    singles = [retriever.retrieve(q) for q in queries]
+    assert [[r["id"] for r in b] for b in batch] == [[r["id"] for r in s] for s in singles]
+
+
+def test_threshold_filters_everything(retriever):
+    strict = ContextRetriever(retriever.store, retriever.embedder, {"top_k": 3, "similarity_threshold": 0.999})
+    assert strict.retrieve("anything at all") == []
+
+
+def test_rerank_boosts_lexical_overlap():
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 128})
+    store = VectorStore({"format": "fp32", "block_size": 128})
+    chunks = _mini_corpus()
+    store.create_index(chunks, em.embed_chunks(chunks))
+    r = ContextRetriever(store, em, {"top_k": 3, "similarity_threshold": 0.0, "rerank": True, "diversity_penalty": 0.0})
+    res = r.retrieve("GPTQ post-training quantization second-order")
+    assert "GPTQ" in res[0]["text"]
+    assert res[0]["rank_score"] >= res[-1]["rank_score"]
+
+
+def test_mmr_diversifies():
+    # duplicate chunks: without MMR both copies rank top-2; with diversity
+    # penalty the second pick should differ.
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 128})
+    texts = [
+        "quantization lowers numeric precision of weights",
+        "quantization lowers numeric precision of weights",
+        "pruning removes redundant connections from the network",
+    ]
+    chunks = [Chunk(text=t, chunk_id=f"chunk_{i}", tokens=len(t.split())) for i, t in enumerate(texts)]
+    store = VectorStore({"format": "fp32", "block_size": 128})
+    store.create_index(chunks, em.embed_chunks(chunks))
+    plain = ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": 0.0, "rerank": False, "diversity_penalty": 0.0})
+    divers = ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": 0.0, "rerank": False, "diversity_penalty": 0.6})
+    p = [r["text"] for r in plain.retrieve("quantization precision of weights")]
+    d = [r["text"] for r in divers.retrieve("quantization precision of weights")]
+    assert p[0] == p[1]  # duplicates dominate without MMR
+    assert d[0] != d[1]  # MMR picks the diverse chunk
+    assert "pruning" in d[1]
+
+
+def test_distance_to_similarity_conversions():
+    # cosine: ChromaDB returns L2 distance of normalized vectors
+    assert abs(distance_to_similarity(0.0, "cosine") - 1.0) < 1e-9
+    assert abs(distance_to_similarity(np.sqrt(2.0), "cosine")) < 1e-9
+    assert distance_to_similarity(0.0, "l2") == 1.0
+    assert distance_to_similarity(1.0, "l2") == 0.5
+    with pytest.raises(ValueError):
+        distance_to_similarity(0.1, "hamming")
+
+
+def test_empty_store():
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 128})
+    store = VectorStore({"format": "fp32"})
+    r = ContextRetriever(store, em, {})
+    assert r.retrieve("query") == []
+    assert r.get_context_string("query") == ""
+
+
+# -- golden end-to-end slice on the bundled corpus ---------------------------
+
+@pytest.fixture(scope="module")
+def corpus_retriever(corpus_pdf):
+    dp = DocumentProcessor({})
+    pages = dp.process_pdf(str(corpus_pdf))
+    ch = TextChunker({"strategy": "semantic", "chunk_size": 160, "chunk_overlap": 30, "min_chunk_size": 10})
+    chunks = [c for text, page in pages for c in ch.chunk(text, page_number=page)]
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 384})
+    store = VectorStore({"format": "fp32", "block_size": 256})
+    store.create_index(chunks, em.embed_chunks(chunks))
+    return ContextRetriever(store, em, {"top_k": 3, "similarity_threshold": 0.05})
+
+
+def test_corpus_end_to_end_term_recall(corpus_retriever, qa_path):
+    """The reference's validate_retrieval smoke check (rag/pipeline.py:165-182):
+    retrieved chunks should contain the question's key terms."""
+    qa = json.loads(qa_path.read_text())
+    hits = 0
+    n = 15
+    for item in qa[:n]:
+        res = corpus_retriever.retrieve(item["question"])
+        assert res, item["question"]
+        context = " ".join(r["text"].lower() for r in res)
+        # crude term recall: content words of the question found in context
+        words = [w for w in item["question"].lower().split() if len(w) > 5]
+        if not words:
+            n -= 1
+            continue
+        found = sum(1 for w in words if w.strip("?.,") in context)
+        hits += found / len(words)
+    assert hits / n > 0.5, hits / n
+
+
+def test_corpus_formats_recall_parity(corpus_pdf):
+    """int8 index recall@10 vs the fp32 exact oracle on real corpus chunks."""
+    dp = DocumentProcessor({})
+    pages = dp.process_pdf(str(corpus_pdf))
+    ch = TextChunker({"strategy": "fixed", "chunk_size": 100, "chunk_overlap": 20, "min_chunk_size": 5})
+    chunks = [c for text, page in pages for c in ch.chunk(text, page_number=page)]
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 384})
+    emb = em.embed_chunks(chunks)
+    queries = em.embed(["what is weight quantization", "pruning sparsity methods", "distillation student teacher"])
+
+    exact = VectorStore({"format": "fp32", "block_size": 256})
+    exact.create_index(chunks, emb)
+    s_ref, i_ref = exact.search_batch(queries, top_k=10)
+
+    q8 = VectorStore({"format": "int8", "block_size": 256, "rescore_k": 64})
+    q8.create_index(chunks, emb)
+    s_q, i_q = q8.search_batch(queries, top_k=10)
+
+    recall = np.mean([len(set(i_q[r]) & set(i_ref[r])) / 10 for r in range(len(queries))])
+    assert recall >= 0.9, recall
