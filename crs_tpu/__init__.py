@@ -20,3 +20,27 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of the
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache (opt out via env).
+
+    On the axon TPU tunnel every new program shape costs a 20-40s remote
+    compile; the persistent cache makes repeated processes (bench runs,
+    CLI invocations) reuse compiled executables across restarts.
+    """
+    import os
+
+    if os.environ.get("CRS_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/crs_tpu_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()

@@ -1,0 +1,295 @@
+"""Uniform model interface + factory (parity: reference models/model_interface.py).
+
+``ModelInterface`` mirrors the reference ABC (:11): ``load`` /
+``generate`` / ``get_loglikelihood`` / ``forward`` / ``get_model_info``, and
+the factory ``create_model_interface`` (:131) maps type strings to variants.
+Where the reference maps ``huggingface|gptq|awq|hqq`` onto CUDA-kernel
+libraries, we map precision variants of one JAX transformer:
+
+- ``jax`` / ``bf16``  — full-precision (bf16) weights,
+- ``int8``            — per-channel weight-only int8 (MXU int8 path),
+- ``int4``            — group-wise weight-only int4 (HQQ/GPTQ-equivalent).
+
+Weights come from a local HF checkpoint when ``model_path`` is set and
+exists; otherwise deterministic random init on a named config preset —
+architecture, kernels and benchmarks are identical either way, which is what
+the efficiency benchmarks measure.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from abc import ABC, abstractmethod
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bytes_tokenizer import ByteTokenizer
+from .quantized import params_num_bytes, quantize_params
+from .sampling import SamplingParams, generate_tokens
+from .transformer import CONFIGS, TransformerConfig, forward, init_params
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ModelInterface", "JaxModel", "create_model_interface"]
+
+_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
+
+class ModelInterface(ABC):
+    """Abstract interface every model variant implements (reference :11-129)."""
+
+    @abstractmethod
+    def load(self) -> None: ...
+
+    @abstractmethod
+    def generate(self, prompt: str, max_new_tokens: int = 64, **kw) -> str: ...
+
+    @abstractmethod
+    def get_loglikelihood(self, context: str, continuation: str) -> float: ...
+
+    @abstractmethod
+    def forward(self, input_ids: np.ndarray) -> np.ndarray: ...
+
+    def get_model_info(self) -> Dict[str, Any]:
+        """Size/params/bits-per-param summary (reference :84-106)."""
+        return {}
+
+    def get_lm_eval_model(self):  # pragma: no cover - optional dependency
+        """lm-eval adapter (reference :108-124); gated on lm_eval presence."""
+        raise NotImplementedError("lm_eval adapter requires the lm_eval package")
+
+
+class JaxModel(ModelInterface):
+    """The JAX causal LM behind ``ModelInterface``, any precision variant."""
+
+    def __init__(self, config: Optional[Dict[str, Any]] = None):
+        config = config or {}
+        self.config_name = config.get("config", "tiny")
+        self.model_path = config.get("model_path")
+        self.quantization: Optional[str] = config.get("quantization")  # None|int8|int4
+        self.group_size = int(config.get("group_size", 128))
+        self.seed = int(config.get("seed", 0))
+        self.max_seq_len = int(config.get("max_seq_len", 2048))
+        self.cfg: Optional[TransformerConfig] = None
+        self.params = None
+        self.tokenizer = None
+        self._loaded = False
+        self.load_time_s = 0.0
+
+    # -- loading -----------------------------------------------------------
+    def load(self) -> None:
+        if self._loaded:
+            return
+        t0 = time.perf_counter()
+        loaded = None
+        if self.model_path:
+            from .hf_loader import load_hf_causal_lm
+
+            loaded = load_hf_causal_lm(self.model_path)
+        if loaded is not None:
+            self.cfg, self.params = loaded
+            self.tokenizer = _load_hf_tokenizer(self.model_path) or ByteTokenizer()
+        else:
+            if self.config_name not in CONFIGS:
+                raise ValueError(f"unknown model config: {self.config_name}")
+            self.cfg = CONFIGS[self.config_name]
+            self.params = init_params(jax.random.PRNGKey(self.seed), self.cfg)
+            self.tokenizer = ByteTokenizer()
+            logger.info("JaxModel: random init (%s, seed=%d)", self.config_name, self.seed)
+        if self.quantization in ("int8", "int4"):
+            bits = 8 if self.quantization == "int8" else 4
+            self.params = quantize_params(self.params, bits=bits, group_size=self.group_size)
+        elif self.quantization not in (None, "", "none", "bf16", "fp16"):
+            raise ValueError(f"unknown quantization: {self.quantization}")
+        self.load_time_s = time.perf_counter() - t0
+        self._loaded = True
+
+    def _ensure(self) -> None:
+        if not self._loaded:
+            self.load()
+
+    # -- generation (reference huggingface_model.py:93-148) -----------------
+    def generate(
+        self,
+        prompt: str,
+        max_new_tokens: int = 64,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        seed: int = 0,
+    ) -> str:
+        return self.generate_batch(
+            [prompt], max_new_tokens, temperature, top_p, top_k, repetition_penalty, seed
+        )[0]
+
+    def generate_batch(
+        self,
+        prompts: Sequence[str],
+        max_new_tokens: int = 64,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        top_k: int = 0,
+        repetition_penalty: float = 1.0,
+        seed: int = 0,
+    ) -> List[str]:
+        self._ensure()
+        enc = [self.tokenizer.encode(p, max_length=self.max_seq_len - max_new_tokens) for p in prompts]
+        blen = _bucket(max(len(e) for e in enc))
+        b = len(enc)
+        ids = np.full((b, blen), _pad_id(self.tokenizer), np.int32)
+        mask = np.zeros((b, blen), np.bool_)
+        for row, e in enumerate(enc):  # LEFT-pad (RoPE is relative; pads masked)
+            ids[row, blen - len(e):] = e
+            mask[row, blen - len(e):] = True
+        sp = SamplingParams(
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            eos_id=_eos_id(self.tokenizer),
+            pad_id=_pad_id(self.tokenizer),
+        )
+        tokens, lengths = generate_tokens(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            jax.random.PRNGKey(seed), sp,
+        )
+        tokens = np.asarray(tokens)
+        lengths = np.asarray(lengths)
+        out = []
+        for row in range(b):
+            toks = tokens[row, : lengths[row]]
+            toks = toks[toks != sp.eos_id]
+            out.append(self.tokenizer.decode(toks.tolist()))
+        return out
+
+    # -- scoring (reference huggingface_model.py:150-192) --------------------
+    def get_loglikelihood(self, context: str, continuation: str) -> float:
+        self._ensure()
+        ctx = self.tokenizer.encode(context)
+        full = self.tokenizer.encode(context + continuation)
+        cont_len = len(full) - len(ctx)
+        if cont_len <= 0:
+            return 0.0
+        blen = _bucket(len(full))
+        ids = np.full((1, blen), _pad_id(self.tokenizer), np.int32)
+        ids[0, : len(full)] = full
+        mask = np.zeros((1, blen), np.bool_)
+        mask[0, : len(full)] = True
+        logits = np.asarray(forward(self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask)))
+        logprobs = jax.nn.log_softmax(jnp.asarray(logits[0]), axis=-1)
+        total = 0.0
+        for pos in range(len(ctx), len(full)):
+            total += float(logprobs[pos - 1, full[pos]])
+        return total
+
+    def forward(self, input_ids: np.ndarray) -> np.ndarray:
+        self._ensure()
+        ids = jnp.asarray(np.atleast_2d(input_ids), jnp.int32)
+        return np.asarray(forward(self.params, self.cfg, ids))
+
+    # -- info (reference :84-106) -------------------------------------------
+    def get_model_info(self) -> Dict[str, Any]:
+        self._ensure()
+        nbytes = params_num_bytes(self.params)
+        nparams = _count_params(self.cfg)
+        return {
+            "model_name": self.model_path or self.config_name,
+            "quantization": self.quantization or "bf16",
+            "num_parameters": nparams,
+            "model_size_gb": nbytes / 1e9,
+            "bits_per_param": 8.0 * nbytes / max(nparams, 1),
+            "device": str(jax.devices()[0]),
+            "load_time_s": self.load_time_s,
+        }
+
+    def get_lm_eval_model(self):  # pragma: no cover - optional dependency
+        try:
+            from ..evaluation.performance.lm_eval_adapter import JaxLM
+
+            return JaxLM(self)
+        except ImportError as e:
+            raise NotImplementedError(f"lm_eval not available: {e}")
+
+
+def _pad_id(tok) -> int:
+    return getattr(tok, "pad_id", 0)
+
+
+def _eos_id(tok) -> int:
+    return getattr(tok, "eos_id", -1)
+
+
+def _count_params(cfg: TransformerConfig) -> int:
+    d, hd = cfg.hidden_size, cfg.head_dim
+    per_layer = (
+        d * cfg.num_heads * hd  # q
+        + 2 * d * cfg.num_kv_heads * hd  # k, v
+        + cfg.num_heads * hd * d  # o
+        + 3 * d * cfg.intermediate_size  # gate, up, down
+        + 2 * d  # norms
+    )
+    total = cfg.vocab_size * d + cfg.num_layers * per_layer + d
+    if not cfg.tie_embeddings:
+        total += d * cfg.vocab_size
+    return total
+
+
+def _load_hf_tokenizer(path: str):
+    try:
+        from transformers import AutoTokenizer  # type: ignore
+
+        tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+
+        class _Wrap:
+            pad_id = tok.pad_token_id or 0
+            eos_id = tok.eos_token_id if tok.eos_token_id is not None else -1
+
+            def encode(self, text, max_length=None):
+                ids = tok.encode(text)
+                return ids[:max_length] if max_length else ids
+
+            def decode(self, ids):
+                return tok.decode(ids, skip_special_tokens=True)
+
+        return _Wrap()
+    except Exception:  # pragma: no cover - environment dependent
+        return None
+
+
+_MODEL_TYPES = {
+    "jax": None,
+    "bf16": None,
+    "huggingface": None,  # reference alias: full-precision path
+    "hf": None,
+    "int8": "int8",
+    "int4": "int4",
+    "gptq": "int4",  # reference aliases → our weight-only int4 equivalent
+    "awq": "int4",
+    "hqq": "int4",
+    "nf4": "int4",
+}
+
+
+def create_model_interface(model_type: str, config: Optional[Dict[str, Any]] = None) -> ModelInterface:
+    """Factory (reference :131-184): type string → configured model variant."""
+    mt = (model_type or "jax").lower()
+    if mt not in _MODEL_TYPES:
+        raise ValueError(f"unknown model type: {model_type} (known: {sorted(_MODEL_TYPES)})")
+    config = dict(config or {})
+    quant = _MODEL_TYPES[mt]
+    if quant and not config.get("quantization"):
+        config["quantization"] = quant
+    return JaxModel(config)

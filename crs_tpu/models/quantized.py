@@ -1,0 +1,153 @@
+"""Weight-only quantized tensors for the model zoo.
+
+The TPU-native equivalent of the reference's quantized-model dependency
+kernels (auto-gptq / autoawq / hqq CUDA, ``models/{gptq,awq,hqq}_model.py``):
+weight matrices become :class:`QuantizedTensor` pytree nodes — int8
+per-output-channel or int4 group-wise symmetric — and every matmul in the
+transformer goes through :func:`qmatmul`, which dispatches on the weight
+type. Like HQQ (reference ``models/hqq_model.py:100-134``), quantization is
+performed on the fly from full-precision weights, with configurable bit-width
+and group size.
+
+int8 uses the MXU's native int8 path with dynamic per-row activation
+quantization; int4 is stored packed two-nibbles-per-int8 and unpacked into
+the matmul (XLA fuses the unpack/dequant into the GEMM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["QuantizedTensor", "qmatmul", "quantize_tensor", "quantize_params", "params_num_bytes"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class QuantizedTensor:
+    """A quantized weight [in, out].
+
+    int8: ``codes`` [in, out] int8, ``scales`` [out] — per output channel.
+    int4: ``codes`` [in/2, out] int8 (two nibbles packed per byte along the
+    input dim), ``scales`` [in/group_size, out] — group-wise.
+    ``bits``/``group_size``/``shape`` are static pytree aux data.
+    """
+
+    codes: jax.Array
+    scales: jax.Array
+    bits: int
+    group_size: int
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.codes, self.scales), (self.bits, self.group_size, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        codes, scales = children
+        bits, group_size, shape = aux
+        return cls(codes, scales, bits, group_size, shape)
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16
+
+    def unpack_codes(self) -> jax.Array:
+        """int4 only: unpack [in/2, out] nibbles → [in, out] int8 in [-7, 7]."""
+        lo = jnp.left_shift(self.codes, 4)
+        lo = jnp.right_shift(lo, 4)  # arithmetic shift restores sign
+        hi = jnp.right_shift(self.codes, 4)
+        kin = self.shape[0]
+        return jnp.stack([lo, hi], axis=1).reshape(kin, self.shape[1])
+
+    def dequantize(self) -> jax.Array:
+        kin, kout = self.shape
+        if self.bits == 8:
+            return self.codes.astype(jnp.float32) * self.scales[None, :]
+        vals = self.unpack_codes().astype(jnp.float32)
+        g = self.scales.shape[0]
+        grouped = vals.reshape(g, kin // g, kout)
+        return (grouped * self.scales[:, None, :]).reshape(kin, kout)
+
+
+def quantize_tensor(w: jax.Array, bits: int = 8, group_size: int = 128) -> QuantizedTensor:
+    w = w.astype(jnp.float32)
+    kin, kout = w.shape
+    if bits == 8:
+        amax = jnp.max(jnp.abs(w), axis=0)
+        scales = jnp.maximum(amax, 1e-12) / 127.0
+        codes = jnp.clip(jnp.round(w / scales[None, :]), -127, 127).astype(jnp.int8)
+        return QuantizedTensor(codes, scales, 8, 0, (kin, kout))
+    if bits == 4:
+        if kin % group_size != 0 or kin % 2 != 0:
+            group_size = kin if kin % 2 == 0 else 0
+        if group_size == 0:
+            raise ValueError("int4 requires an even input dim")
+        g = kin // group_size
+        grouped = w.reshape(g, group_size, kout)
+        amax = jnp.max(jnp.abs(grouped), axis=1)
+        scales = jnp.maximum(amax, 1e-12) / 7.0
+        vals = jnp.clip(jnp.round(grouped / scales[:, None, :]), -7, 7).astype(jnp.int8)
+        vals = vals.reshape(kin, kout)
+        # pack two int4 values per int8 along the input dim
+        pairs = vals.reshape(kin // 2, 2, kout)
+        lo = pairs[:, 0, :] & 0x0F
+        hi = jnp.left_shift(pairs[:, 1, :], 4)
+        packed = (lo | hi).astype(jnp.int8)
+        return QuantizedTensor(packed, scales, 4, group_size, (kin, kout))
+    raise ValueError(f"unsupported bits: {bits}")
+
+
+def qmatmul(x: jax.Array, w: Any) -> jax.Array:
+    """x @ w where w is a plain array or a QuantizedTensor."""
+    if isinstance(w, QuantizedTensor):
+        if w.bits == 8:
+            # int8 per-channel: int8×int8 MXU matmul with dynamic activation
+            # quantization (per-row), rescaled in fp32.
+            xf = x.astype(jnp.float32)
+            x2 = xf.reshape(-1, xf.shape[-1])
+            amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+            xs = jnp.maximum(amax, 1e-12) / 127.0
+            xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, w.codes,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = acc.astype(jnp.float32) * xs * w.scales[None, :]
+            return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
+        # int4 group-wise: unpack+dequantize into the GEMM (XLA fuses).
+        return jnp.dot(x, w.dequantize().astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+_QUANT_SKIP = ("embed", "scale", "norm")
+
+
+def quantize_params(params: Dict[str, Any], bits: int = 8, group_size: int = 128) -> Dict[str, Any]:
+    """Quantize every 2-D weight matrix in a params pytree (norms/embeddings
+    stay full precision, like the reference's quantized models keep
+    embeddings and norms in fp16)."""
+
+    def visit(path: str, node: Any) -> Any:
+        if isinstance(node, dict):
+            return {k: visit(f"{path}.{k}", v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(f"{path}[{i}]", v) for i, v in enumerate(node)]
+        if isinstance(node, jax.Array) and node.ndim == 2 and not any(s in path for s in _QUANT_SKIP):
+            return quantize_tensor(node, bits=bits, group_size=group_size)
+        return node
+
+    return visit("", params)
+
+
+def params_num_bytes(params: Any) -> int:
+    """Total parameter bytes (packed int4 counts at its stored width)."""
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        if hasattr(leaf, "size") and hasattr(leaf, "dtype"):
+            total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -1,0 +1,295 @@
+"""Decoder-only causal LM as pure JAX functions (the generator model zoo).
+
+TPU-native replacement for the reference's HF/CUDA model stack
+(``models/huggingface_model.py`` and the GPTQ/AWQ/HQQ variants): a
+Mistral/Llama-family architecture — RMSNorm, rotary embeddings, grouped-query
+attention, SwiGLU MLP — implemented as jitted pure functions over a params
+pytree, with prefill + KV-cache decode under ``jit``.
+
+Quantization is transparent: any weight matrix may be a
+:class:`~crs_tpu.models.quantized.QuantizedTensor` (int8 per-channel or int4
+group-wise); ``qmatmul`` dequantizes/dispatches accordingly. This is the
+int8/int4 weight-only equivalent of the reference's GPTQ/AWQ/HQQ kernels
+(SURVEY.md §2b).
+
+Weights load from HF checkpoints when available
+(:func:`~crs_tpu.models.hf_loader.load_hf_causal_lm`); deterministic random
+init otherwise (zero-egress fallback — architecture and kernels identical).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .quantized import qmatmul
+
+Params = Dict[str, Any]
+
+__all__ = ["TransformerConfig", "CONFIGS", "init_params", "forward", "init_cache", "decode_step", "KVCache"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    intermediate_size: int = 14336
+    max_seq_len: int = 4096
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# Named presets: tiny/small for tests and benches, mistral-7b for parity with
+# the reference's evaluated model (Mistral-7B-Instruct dims).
+CONFIGS: Dict[str, TransformerConfig] = {
+    "tiny": TransformerConfig(
+        vocab_size=512, hidden_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=512,
+    ),
+    "small": TransformerConfig(
+        vocab_size=2048, hidden_size=512, num_layers=8, num_heads=8,
+        num_kv_heads=4, intermediate_size=1536, max_seq_len=2048,
+    ),
+    "1b": TransformerConfig(
+        vocab_size=32000, hidden_size=2048, num_layers=16, num_heads=16,
+        num_kv_heads=8, intermediate_size=5632, max_seq_len=4096,
+    ),
+    "mistral-7b": TransformerConfig(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, intermediate_size=14336, max_seq_len=4096,
+    ),
+}
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, S_max, H_kv, hd]
+    v: jax.Array  # [L, B, S_max, H_kv, hd]
+    mask: jax.Array  # [B, S_max] bool — which cache slots hold real tokens
+    length: jax.Array  # [] int32 — tokens currently in cache
+
+
+def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
+    """Deterministic scaled-normal init."""
+    n_mats = 7 * cfg.num_layers + 2
+    keys = iter(jax.random.split(key, n_mats))
+    d, hd = cfg.hidden_size, cfg.head_dim
+
+    def mat(kin: int, kout: int) -> jax.Array:
+        return (jax.random.normal(next(keys), (kin, kout), jnp.float32) * (kin**-0.5)).astype(cfg.dtype)
+
+    params: Params = {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, d), jnp.float32).astype(cfg.dtype) * 0.02,
+        "layers": [],
+        "final_norm": {"scale": jnp.ones((d,), cfg.dtype)},
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "attn_norm": {"scale": jnp.ones((d,), cfg.dtype)},
+                "attn": {
+                    "q": mat(d, cfg.num_heads * hd),
+                    "k": mat(d, cfg.num_kv_heads * hd),
+                    "v": mat(d, cfg.num_kv_heads * hd),
+                    "o": mat(cfg.num_heads * hd, d),
+                },
+                "mlp_norm": {"scale": jnp.ones((d,), cfg.dtype)},
+                "mlp": {
+                    "gate": mat(d, cfg.intermediate_size),
+                    "up": mat(d, cfg.intermediate_size),
+                    "down": mat(cfg.intermediate_size, d),
+                },
+            }
+        )
+    if not cfg.tie_embeddings:
+        params["lm_head"] = mat(d, cfg.vocab_size)
+    return params
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return (x.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+
+
+def _rope_angles(positions: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    # positions [B, S] → cos/sin [B, S, hd/2]
+    freqs = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    ang = positions[..., None].astype(jnp.float32) * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    # x [B, S, H, hd]; rotate-half convention (HF Llama/Mistral).
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+
+
+def _attention(
+    x: jax.Array,  # [B, S, D]
+    p: Params,
+    cfg: TransformerConfig,
+    positions: jax.Array,  # [B, S]
+    cache_kv: Optional[Tuple[jax.Array, jax.Array]],  # ([B, S_max, Hkv, hd], ...)
+    cache_len: Optional[jax.Array],
+    key_valid: Optional[jax.Array] = None,  # [B, S_kv] bool (padding mask)
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    b, s, d = x.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = qmatmul(x, p["q"]).reshape(b, s, h, hd)
+    k = qmatmul(x, p["k"]).reshape(b, s, hkv, hd)
+    v = qmatmul(x, p["v"]).reshape(b, s, hkv, hd)
+    cos, sin = _rope_angles(positions, hd, cfg.rope_theta)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_len, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_len, 0, 0))
+        keys, values = ck, cv
+        kv_len = keys.shape[1]
+        key_pos = jnp.arange(kv_len)[None, :]  # [1, S_max]
+        q_pos = positions  # [B, S]
+        mask = key_pos[:, None, :] <= q_pos[:, :, None]  # [B, S, S_max]
+        mask = mask & (key_pos[:, None, :] < cache_len + s)
+        if key_valid is not None:
+            mask = mask & key_valid[:, None, :]
+        new_cache = (ck, cv)
+    else:
+        keys, values = k, v
+        kv_len = s
+        key_pos = jnp.arange(s)[None, :]
+        mask = key_pos[:, None, :] <= positions[:, :, None]
+        if key_valid is not None:
+            mask = mask & key_valid[:, None, :]
+        new_cache = None
+
+    group = h // hkv
+    qg = q.reshape(b, s, hkv, group, hd)
+    scores = jnp.einsum("bskgd,btkd->bkgst", qg, keys, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(hd).astype(jnp.float32)
+    bias = jnp.where(mask[:, None, None, :, :], 0.0, -1e30)  # [B,1,1,S,T]
+    probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bkgst,btkd->bskgd", probs, values)
+    ctx = ctx.reshape(b, s, h * hd)
+    return qmatmul(ctx, p["o"]), new_cache
+
+
+def _block(x, layer, cfg, positions, cache_kv, cache_len, key_valid=None):
+    a, new_cache = _attention(
+        rms_norm(x, layer["attn_norm"]["scale"], cfg.rms_eps), layer["attn"], cfg,
+        positions, cache_kv, cache_len, key_valid,
+    )
+    x = x + a
+    hmlp = rms_norm(x, layer["mlp_norm"]["scale"], cfg.rms_eps)
+    gate = jax.nn.silu(qmatmul(hmlp, layer["mlp"]["gate"]))
+    up = qmatmul(hmlp, layer["mlp"]["up"])
+    x = x + qmatmul(gate * up, layer["mlp"]["down"])
+    return x, new_cache
+
+
+def _logits(x: jax.Array, params: Params, cfg: TransformerConfig) -> jax.Array:
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return qmatmul(x, head).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def forward(
+    params: Params, cfg: TransformerConfig, ids: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full-sequence forward (no cache): logits [B, S, V] fp32.
+
+    ``attn_mask`` [B, S] marks real (non-pad) tokens; pads are masked as keys.
+    """
+    b, s = ids.shape
+    x = params["embed"][ids]
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    for layer in params["layers"]:
+        x, _ = _block(x, layer, cfg, positions, None, None, attn_mask)
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+    return _logits(x, params, cfg)
+
+
+def init_cache(cfg: TransformerConfig, batch: int, max_len: int) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype),
+        mask=jnp.zeros((batch, max_len), jnp.bool_),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill(
+    params: Params, cfg: TransformerConfig, ids: jax.Array, cache: KVCache,
+    attn_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """Run the prompt through the model, filling the cache.
+
+    Returns (logits [B, S, V], cache). Variable-length prompts are LEFT-
+    padded with ``attn_mask`` marking real tokens — RoPE attention depends
+    only on relative position, so a constant left-pad offset is harmless
+    once pad keys are masked.
+    """
+    b, s = ids.shape
+    x = params["embed"][ids]
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    if attn_mask is None:
+        attn_mask = jnp.ones((b, s), jnp.bool_)
+    new_mask = jax.lax.dynamic_update_slice(cache.mask, attn_mask, (0, cache.length))
+    key_valid = jax.lax.dynamic_update_slice(
+        cache.mask, attn_mask, (0, cache.length)
+    )
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        x, kv = _block(
+            x, layer, cfg, positions, (cache.k[li], cache.v[li]), cache.length, key_valid
+        )
+        new_k.append(kv[0])
+        new_v.append(kv[1])
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+    logits = _logits(x, params, cfg)
+    return logits, KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), mask=new_mask, length=cache.length + s
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: Params, cfg: TransformerConfig, token: jax.Array, cache: KVCache
+) -> Tuple[jax.Array, KVCache]:
+    """One decode step: token [B] → logits [B, V], updated cache."""
+    b = token.shape[0]
+    positions = jnp.broadcast_to(cache.length[None, None], (b, 1))
+    x = params["embed"][token[:, None]]
+    new_mask = jax.lax.dynamic_update_slice(
+        cache.mask, jnp.ones((b, 1), jnp.bool_), (0, cache.length)
+    )
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        x, kv = _block(
+            x, layer, cfg, positions, (cache.k[li], cache.v[li]), cache.length, new_mask
+        )
+        new_k.append(kv[0])
+        new_v.append(kv[1])
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+    logits = _logits(x, params, cfg)[:, 0, :]
+    return logits, KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v), mask=new_mask, length=cache.length + 1
+    )

@@ -75,12 +75,17 @@ class HashedEncoder:
         # Sublinear tf
         return {i: 1.0 + float(np.log(c)) for i, c in counts.items()}
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
-        feats = np.zeros((len(texts), self.num_features), np.float32)
+    def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
+        """Encode texts; ``pad_to`` pads the batch dim so every call through
+        a given batch size compiles exactly once (each new shape costs a
+        20–40s remote compile on the axon tunnel)."""
+        b = max(len(texts), 1)
+        rows = max(pad_to, b)
+        feats = np.zeros((rows, self.num_features), np.float32)
         for row, text in enumerate(texts):
             for idx, w in self._feature_ids(text).items():
                 feats[row, idx] = w
-        return np.asarray(self._project(jnp.asarray(feats)))
+        return np.asarray(self._project(jnp.asarray(feats)))[: len(texts)]
 
 
 class EmbeddingModel:
@@ -123,7 +128,11 @@ class EmbeddingModel:
         if self.backend == "hashed":
             out = []
             for i in range(0, len(texts), self.batch_size):
-                out.append(self._hashed.encode(texts[i : i + self.batch_size]))
+                out.append(
+                    self._hashed.encode(
+                        texts[i : i + self.batch_size], pad_to=self.batch_size
+                    )
+                )
             return np.concatenate(out, axis=0)
         return self._embed_minilm(texts)
 
@@ -138,18 +147,20 @@ class EmbeddingModel:
         encoded = [self.tokenizer.encode(t, max_length=self.max_length) for t in texts]
         out = np.zeros((len(texts), self.embedding_dim), np.float32)
         # Sort by length to minimize padding waste, keep original order.
+        # Batch dim is ALWAYS padded to batch_size so each (batch, seq-bucket)
+        # shape compiles exactly once (remote compiles cost 20-40s each).
         order = sorted(range(len(texts)), key=lambda i: len(encoded[i]))
         for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             blen = _bucket_len(max(len(encoded[i]) for i in idx))
-            ids = np.zeros((len(idx), blen), np.int32)
-            mask = np.zeros((len(idx), blen), np.bool_)
+            ids = np.zeros((self.batch_size, blen), np.int32)
+            mask = np.zeros((self.batch_size, blen), np.bool_)
             for row, i in enumerate(idx):
                 seq = encoded[i][:blen]
                 ids[row, : len(seq)] = seq
                 mask[row, : len(seq)] = True
             emb = np.asarray(self.encoder.encode_ids(ids, mask))
-            out[idx] = emb
+            out[idx] = emb[: len(idx)]
         return out
 
     def get_stats(self) -> Dict[str, Any]:
