@@ -36,7 +36,13 @@ def _setup_compilation_cache() -> None:
     try:
         import jax
 
-        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/crs_tpu_jax_cache")
+        # Per-platform cache dirs: sharing one dir lets XLA:CPU load AOT
+        # entries produced under the TPU terminal's compile env (machine-
+        # feature mismatch warnings, potential SIGILL).
+        tag = (os.environ.get("JAX_PLATFORM_NAME") or os.environ.get("JAX_PLATFORMS") or "default").split(",")[0]
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", f"/tmp/crs_tpu_jax_cache_{tag}"
+        )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

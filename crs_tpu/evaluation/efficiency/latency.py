@@ -1,0 +1,143 @@
+"""Latency measurement with device fences (parity: reference efficiency/latency.py).
+
+The reference's ``torch.cuda.synchronize`` + ``perf_counter`` pattern
+(:86-117) becomes ``jax.block_until_ready`` fences. Measures:
+
+- ``measure_latency`` — warmups then timed greedy generates; ms/token
+  mean/std/min/max (:37-158),
+- ``measure_ttft`` — time-to-first-token via ``max_new_tokens=1`` (:161-262),
+- ``measure_prefill_decode_latency`` — forward-only prefill vs
+  generate-minus-prefill decode (:265-366).
+
+All loops are per-iteration error tolerant like the reference (:125-127).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["measure_latency", "measure_ttft", "measure_prefill_decode_latency"]
+
+_DEFAULT_PROMPTS = [
+    "The key idea of model quantization is",
+    "Retrieval augmented generation improves answers by",
+    "In distributed training, tensor parallelism splits",
+    "The transformer attention mechanism computes",
+]
+
+
+def _timed_generate(model, prompt: str, max_new_tokens: int) -> float:
+    t0 = time.perf_counter()
+    model.generate(prompt, max_new_tokens=max_new_tokens, temperature=0.0)
+    return time.perf_counter() - t0
+
+
+def measure_latency(
+    model,
+    prompts: Optional[Sequence[str]] = None,
+    max_new_tokens: int = 32,
+    num_warmup: int = 3,
+    num_runs: int = 10,
+) -> Dict[str, Any]:
+    """Per-token decode latency stats over repeated greedy generates."""
+    prompts = list(prompts or _DEFAULT_PROMPTS)
+    for i in range(num_warmup):
+        try:
+            _timed_generate(model, prompts[i % len(prompts)], max_new_tokens)
+        except Exception as e:  # pragma: no cover
+            logger.warning("warmup failed: %s", e)
+    times: List[float] = []
+    for i in range(num_runs):
+        prompt = prompts[i % len(prompts)]
+        try:
+            times.append(_timed_generate(model, prompt, max_new_tokens))
+        except Exception as e:  # pragma: no cover - error tolerant like ref
+            logger.warning("latency run %d failed: %s", i, e)
+    if not times:
+        return {"latency_ms_per_token": None}
+    per_token = np.array(times) * 1000.0 / max_new_tokens
+    return {
+        "latency_ms_per_token": float(per_token.mean()),
+        "latency_ms_per_token_std": float(per_token.std()),
+        "latency_ms_per_token_min": float(per_token.min()),
+        "latency_ms_per_token_max": float(per_token.max()),
+        "latency_num_runs": len(times),
+        "latency_max_new_tokens": max_new_tokens,
+    }
+
+
+def measure_ttft(
+    model,
+    prompts: Optional[Sequence[str]] = None,
+    num_warmup: int = 2,
+    num_runs: int = 5,
+) -> Dict[str, Any]:
+    """Time to first token: one-token generates (reference :161-262)."""
+    prompts = list(prompts or _DEFAULT_PROMPTS)
+    for i in range(num_warmup):
+        try:
+            _timed_generate(model, prompts[i % len(prompts)], 1)
+        except Exception:  # pragma: no cover
+            pass
+    times = []
+    for i in range(num_runs):
+        try:
+            times.append(_timed_generate(model, prompts[i % len(prompts)], 1))
+        except Exception as e:  # pragma: no cover
+            logger.warning("ttft run failed: %s", e)
+    if not times:
+        return {"ttft_ms": None}
+    arr = np.array(times) * 1000.0
+    return {"ttft_ms": float(arr.mean()), "ttft_ms_std": float(arr.std())}
+
+
+def measure_prefill_decode_latency(
+    model,
+    prompt: Optional[str] = None,
+    max_new_tokens: int = 32,
+    num_runs: int = 5,
+) -> Dict[str, Any]:
+    """Split prefill (forward-only) from decode (generate minus prefill)."""
+    prompt = prompt or _DEFAULT_PROMPTS[0]
+    try:
+        import jax
+
+        ids = np.asarray(model.tokenizer.encode(prompt), np.int32)[None, :]
+    except Exception:
+        ids = None
+
+    prefill_times = []
+    if ids is not None:
+        try:
+            model.forward(ids)  # warm
+            for _ in range(num_runs):
+                t0 = time.perf_counter()
+                out = model.forward(ids)
+                np.asarray(out)  # materialize = fence
+                prefill_times.append(time.perf_counter() - t0)
+        except Exception as e:  # pragma: no cover
+            logger.warning("prefill measurement failed: %s", e)
+
+    total_times = []
+    try:
+        _timed_generate(model, prompt, max_new_tokens)
+        for _ in range(num_runs):
+            total_times.append(_timed_generate(model, prompt, max_new_tokens))
+    except Exception as e:  # pragma: no cover
+        logger.warning("decode measurement failed: %s", e)
+
+    out: Dict[str, Any] = {}
+    if prefill_times:
+        out["prefill_ms"] = float(np.mean(prefill_times) * 1000.0)
+    if total_times and prefill_times:
+        decode_s = max(np.mean(total_times) - np.mean(prefill_times), 0.0)
+        out["decode_ms_per_token"] = float(decode_s * 1000.0 / max(max_new_tokens - 1, 1))
+    elif total_times:
+        out["decode_ms_per_token"] = float(np.mean(total_times) * 1000.0 / max_new_tokens)
+    return out

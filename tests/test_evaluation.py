@@ -1,0 +1,222 @@
+"""Evaluation framework tests: base stats, metrics math, benchmarks, runner."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from crs_tpu.evaluation.base import BenchmarkResult, higher_is_better
+from crs_tpu.evaluation.retrieval.rag_metrics import RAGMetrics
+from crs_tpu.evaluation.retrieval.retrieval_metrics import RetrievalMetrics
+
+
+# -- base --------------------------------------------------------------------
+
+def test_result_json_roundtrip(tmp_path):
+    r = BenchmarkResult("x", {"latency_ms": 1.5, "acc": 0.9}, {"device": "tpu"})
+    p = tmp_path / "r.json"
+    r.to_json(str(p))
+    r2 = BenchmarkResult.from_json(str(p))
+    assert r2.metrics == r.metrics and r2.name == "x"
+
+
+def test_higher_is_better_heuristic():
+    assert higher_is_better("throughput_tokens_per_sec") is True
+    assert higher_is_better("latency_ms_per_token") is False
+    assert higher_is_better("perplexity") is False
+    assert higher_is_better("f1_score") is True
+    assert higher_is_better("some_random_thing") is None
+
+
+def test_compare_with_directions():
+    a = BenchmarkResult("a", {"latency_ms": 10.0, "accuracy": 0.9})
+    b = BenchmarkResult("b", {"latency_ms": 20.0, "accuracy": 0.8})
+    cmp = a.compare_with(b)
+    assert cmp["latency_ms"]["direction"] == "improved"  # lower latency
+    assert cmp["accuracy"]["direction"] == "improved"
+    cmp2 = b.compare_with(a)
+    assert cmp2["latency_ms"]["direction"] == "regressed"
+
+
+def test_aggregate_with_ci():
+    runs = [BenchmarkResult("r", {"latency_ms": v}) for v in (10.0, 12.0, 11.0, 13.0)]
+    agg = BenchmarkResult.aggregate_from_runs(runs)
+    assert agg.metrics["num_runs"] == 4
+    assert agg.metrics["latency_ms_mean"] == pytest.approx(11.5)
+    assert agg.metrics["latency_ms_ci_low"] < 11.5 < agg.metrics["latency_ms_ci_high"]
+
+
+def test_statistical_test():
+    a = [1.0, 1.1, 0.9, 1.05, 0.95]
+    b = [2.0, 2.1, 1.9, 2.05, 1.95]
+    out = BenchmarkResult.statistical_test(a, b)
+    assert out["significant"]
+    assert abs(out["cohens_d"]) > 2
+    assert out["effect_size"] == "large"
+
+
+def test_validate_rejects_nan():
+    assert not BenchmarkResult("x", {"m": float("nan")}).validate()
+    assert not BenchmarkResult("x", {}).validate()
+    assert BenchmarkResult("x", {"m": 1.0}).validate()
+
+
+# -- IR metrics ---------------------------------------------------------------
+
+def test_precision_recall_f1():
+    retrieved = ["a", "b", "c", "d"]
+    relevant = ["b", "d", "e"]
+    assert RetrievalMetrics.precision_at_k(retrieved, relevant, 2) == 0.5
+    assert RetrievalMetrics.recall_at_k(retrieved, relevant, 4) == pytest.approx(2 / 3)
+    f1 = RetrievalMetrics.f1_at_k(retrieved, relevant, 4)
+    p, r = 0.5, 2 / 3
+    assert f1 == pytest.approx(2 * p * r / (p + r))
+
+
+def test_mrr_and_map():
+    assert RetrievalMetrics.mrr(["x", "b", "c"], ["b"]) == 0.5
+    assert RetrievalMetrics.mrr(["x", "y"], ["z"]) == 0.0
+    ap = RetrievalMetrics.average_precision(["a", "x", "b"], ["a", "b"])
+    assert ap == pytest.approx((1.0 + 2 / 3) / 2)
+
+
+def test_ndcg():
+    scores = {"a": 3.0, "b": 2.0, "c": 1.0}
+    perfect = RetrievalMetrics.ndcg_at_k(["a", "b", "c"], scores, 3)
+    assert perfect == pytest.approx(1.0)
+    worse = RetrievalMetrics.ndcg_at_k(["c", "b", "a"], scores, 3)
+    assert worse < perfect
+    linear = RetrievalMetrics.ndcg_at_k(["a", "b", "c"], scores, 3, gain="linear")
+    assert linear == pytest.approx(1.0)
+
+
+def test_evaluate_retrieval_averages():
+    out = RetrievalMetrics.evaluate_retrieval(
+        [["a", "b"], ["x", "y"]], [["a"], ["y"]], k_values=(1, 2)
+    )
+    assert out["precision_at_1"] == 0.5  # first query hit, second miss at k=1
+    assert out["mrr"] == pytest.approx((1.0 + 0.5) / 2)
+
+
+# -- RAG answer metrics --------------------------------------------------------
+
+def test_exact_match_and_f1():
+    m = RAGMetrics()
+    assert m.exact_match("The Answer!", "the answer") == 1.0
+    assert m.exact_match("a", "b") == 0.0
+    assert m.token_f1("the cat sat", "the cat ran") == pytest.approx(2 / 3)
+    assert m.token_f1("", "") == 1.0
+
+
+def test_bleu_and_rouge():
+    m = RAGMetrics()
+    perfect = m.bleu("the quick brown fox jumps", "the quick brown fox jumps")
+    partial = m.bleu("the quick brown cat", "the quick brown fox jumps")
+    assert perfect > partial > 0
+    assert m.rouge_n("a b c", "a b d") == pytest.approx(2 / 3)
+    assert m.rouge_l("a b c d", "a x b d") == pytest.approx(2 * (3 / 4) * (3 / 4) / (3 / 4 + 3 / 4))
+
+
+def test_faithfulness_and_relevance():
+    m = RAGMetrics()
+    assert m.faithfulness("cats are great", "I think cats are great pets") == 1.0
+    assert m.faithfulness("dogs bark loud", "cats meow") == 0.0
+    # answer tokens {quantization,is,compression} ∩ question {what,is,quantization} = 2 of 3
+    assert m.answer_relevance("quantization is compression", "what is quantization") == pytest.approx(2 / 3)
+
+
+def test_evaluate_rag_system_with_no_rag_deltas():
+    m = RAGMetrics()
+    out = m.evaluate_rag_system(
+        questions=["q1", "q2"],
+        predictions=["the answer one", "the answer two"],
+        references=["the answer one", "something else"],
+        contexts=["the answer one appears here", "other context"],
+        no_rag_predictions=["wrong", "wrong"],
+    )
+    assert out["exact_match"] == 0.5
+    assert out["f1_improvement"] > 0
+    assert 0 <= out["faithfulness"] <= 1
+
+
+# -- efficiency helpers --------------------------------------------------------
+
+def test_device_specs_matching():
+    from crs_tpu.evaluation.efficiency.device_specs import get_device_specs
+
+    s = get_device_specs("TPU v5 lite")
+    assert s["matched"] and s["peak_bf16_tflops"] == 197.0
+    s2 = get_device_specs("NVIDIA A100-SXM4-40GB")
+    assert s2["matched"] and s2["tdp_w"] == 400.0
+    s3 = get_device_specs("weird device")
+    assert not s3["matched"]  # falls back to default
+
+
+def test_flops_and_mfu():
+    from crs_tpu.evaluation.efficiency.flops import calculate_mfu, estimate_flops_per_token
+    from crs_tpu.models.transformer import CONFIGS
+
+    cfg = CONFIGS["mistral-7b"]
+    f = estimate_flops_per_token(cfg)
+    # ~2*7B = 14.5 GFLOPs/token expected for a 7B model
+    assert 12 < f["gflops_per_token"] < 18
+    mfu = calculate_mfu(f["gflops_per_token"], 100.0, "tpu v5 lite")
+    assert 0 < mfu["mfu_percent"] < 5
+
+
+def test_energy_estimate():
+    from crs_tpu.evaluation.efficiency.energy import estimate_energy_per_token
+
+    e = estimate_energy_per_token(10.0, "tpu v5 lite")
+    assert e["energy_per_token_mj"] == pytest.approx(140.0 * 0.7 * 10.0)
+
+
+def test_kv_cache_estimate():
+    from crs_tpu.evaluation.efficiency.memory import estimate_kv_cache_size
+
+    # Mistral-7B dims @ seq 2048: 2*32*1*8*2048*128*2 bytes = 268.4 MB
+    out = estimate_kv_cache_size(32, 8, 128, 2048, 1, 2)
+    assert out["kv_cache_size_mb"] == pytest.approx(268.435456)
+
+
+# -- task registry / MC evaluation ---------------------------------------------
+
+def test_task_registry_and_presets():
+    from crs_tpu.evaluation.performance.tasks import PRESETS, TASK_REGISTRY, validate_task_config
+
+    assert len(TASK_REGISTRY) >= 23
+    assert "hellaswag" in TASK_REGISTRY
+    assert all(t in TASK_REGISTRY for t in PRESETS["baseline"])
+    valid = validate_task_config({"hellaswag": {"enabled": True}, "nonsense_task": {}})
+    assert valid == ["hellaswag"]
+
+
+def test_corpus_qa_task_builds(qa_path):
+    from crs_tpu.evaluation.performance.tasks import build_corpus_qa_task
+
+    task = build_corpus_qa_task(str(qa_path))
+    assert task is not None
+    assert len(task.items) == 41
+    item = task.items[0]
+    assert item["choices"][item["gold"]]  # gold index valid
+    assert len(item["choices"]) == 4
+
+
+class _ScriptedLL:
+    """Model whose loglikelihood prefers continuations containing 'good'."""
+
+    def get_loglikelihood(self, context, continuation):
+        return 0.0 if "good" in continuation else -10.0 - len(continuation)
+
+
+def test_multiple_choice_task_eval():
+    from crs_tpu.evaluation.performance.tasks import MultipleChoiceTask
+
+    items = [
+        {"query": "Q1", "choices": ["good answer", "bad", "worse"], "gold": 0},
+        {"query": "Q2", "choices": ["bad", "good one", "nope"], "gold": 1},
+    ]
+    out = MultipleChoiceTask("t", items).evaluate(_ScriptedLL())
+    assert out["acc"] == 1.0
+    assert out["num_items"] == 2
