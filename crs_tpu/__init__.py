@@ -40,6 +40,11 @@ def _setup_compilation_cache() -> None:
         # entries produced under the TPU terminal's compile env (machine-
         # feature mismatch warnings, potential SIGILL).
         tag = (os.environ.get("JAX_PLATFORM_NAME") or os.environ.get("JAX_PLATFORMS") or "default").split(",")[0]
+        if tag == "cpu":
+            # XLA:CPU AOT reload warns about pseudo machine features and can
+            # in principle SIGILL; CPU compiles are cheap — cache only helps
+            # the remote-compile TPU tunnel.
+            return
         cache_dir = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR", f"/tmp/crs_tpu_jax_cache_{tag}"
         )

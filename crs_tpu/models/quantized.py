@@ -21,6 +21,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["QuantizedTensor", "qmatmul", "quantize_tensor", "quantize_params", "params_num_bytes"]
 
@@ -101,25 +102,56 @@ def quantize_tensor(w: jax.Array, bits: int = 8, group_size: int = 128) -> Quant
     raise ValueError(f"unsupported bits: {bits}")
 
 
+@jax.custom_vjp
+def _int8_act_matmul(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
+    """Forward: dynamic per-row activation int8 × int8 weight on the MXU.
+
+    Backward (custom VJP): dense gradient through the dequantized weight —
+    ``round()`` in the activation quantizer would otherwise zero all
+    gradients flowing through quantized layers (QLoRA training would only
+    learn through the adapter delta of the last layer).
+    """
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, codes,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * xs * scales[None, :]
+
+
+def _int8_act_matmul_fwd(x2, codes, scales):
+    return _int8_act_matmul(x2, codes, scales), (codes, scales)
+
+
+def _int8_act_matmul_bwd(res, g):
+    codes, scales = res
+    w = codes.astype(jnp.float32) * scales[None, :]
+    dx = jnp.dot(g, w.T, preferred_element_type=jnp.float32)
+    d_codes = np.zeros(codes.shape, jax.dtypes.float0)  # int leaf: zero tangent
+    d_scales = jnp.zeros_like(scales)
+    return dx, d_codes, d_scales
+
+
+_int8_act_matmul.defvjp(_int8_act_matmul_fwd, _int8_act_matmul_bwd)
+
+
 def qmatmul(x: jax.Array, w: Any) -> jax.Array:
-    """x @ w where w is a plain array or a QuantizedTensor."""
+    """x @ w where w is a plain array, a QuantizedTensor, or a LoRAWeight."""
+    if type(w).__name__ == "LoRAWeight":  # avoid circular import
+        from ..finetuning.lora import apply_lora_matmul
+
+        return apply_lora_matmul(x, w)
     if isinstance(w, QuantizedTensor):
         if w.bits == 8:
-            # int8 per-channel: int8×int8 MXU matmul with dynamic activation
-            # quantization (per-row), rescaled in fp32.
             xf = x.astype(jnp.float32)
             x2 = xf.reshape(-1, xf.shape[-1])
-            amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
-            xs = jnp.maximum(amax, 1e-12) / 127.0
-            xq = jnp.clip(jnp.round(x2 / xs), -127, 127).astype(jnp.int8)
-            acc = jax.lax.dot_general(
-                xq, w.codes,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            out = acc.astype(jnp.float32) * xs * w.scales[None, :]
+            out = _int8_act_matmul(x2, w.codes, w.scales)
             return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
-        # int4 group-wise: unpack+dequantize into the GEMM (XLA fuses).
+        # int4 group-wise: unpack+dequantize into the GEMM (XLA fuses; fully
+        # differentiable through x since codes are constants).
         return jnp.dot(x, w.dequantize().astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
 
