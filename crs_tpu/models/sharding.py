@@ -1,0 +1,117 @@
+"""Multi-chip sharding for the causal LM: dp × tp mesh with sequence-parallel
+activation constraints.
+
+New capability vs the single-device reference (SURVEY.md §2c): the transformer
+params shard Megatron-style over a 2-D ``Mesh(("dp", "tp"))`` —
+
+- attention q/k/v and MLP gate/up kernels: column-parallel ``P(None, "tp")``,
+- attention out and MLP down kernels: row-parallel ``P("tp", None)``,
+- embedding/LM head: vocab-sharded on tp; norms replicated,
+- batch sharded on dp; between blocks, activations carry a sequence-parallel
+  constraint ``P("dp", "tp", None)`` so norm/residual work also splits across
+  the tp axis (Megatron SP companion).
+
+XLA inserts the collectives (all-gather at column→row boundaries, psum for
+dp gradient reduction) from these annotations — no hand-written NCCL-style
+communication, per the TPU-idiomatic design. Pipeline and expert parallelism
+are intentionally absent: the architecture has no MoE and layer-pipelining is
+out of scope for this model family (documented, not stubbed).
+
+Works identically on a virtual CPU mesh
+(``xla_force_host_platform_device_count``) — that is how CI and the driver's
+``dryrun_multichip`` validate it without a pod.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .transformer import TransformerConfig, forward
+
+__all__ = ["make_model_mesh", "param_pspecs", "shard_params", "make_sharded_train_step", "sharded_loss_fn"]
+
+
+def make_model_mesh(
+    n_devices: Optional[int] = None, tp: Optional[int] = None
+) -> Mesh:
+    """A (dp, tp) mesh over the first n devices. tp defaults to 2 when even."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    n = len(devs)
+    if tp is None:
+        tp = 2 if n % 2 == 0 and n >= 2 else 1
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    dp = n // tp
+    return Mesh(np.array(devs).reshape(dp, tp), ("dp", "tp"))
+
+
+def _spec_for(path: str) -> P:
+    # column-parallel: project hidden → (heads/ffn sharded on tp)
+    if any(k in path for k in ("attn.q", "attn.k", "attn.v", "mlp.gate", "mlp.up")):
+        return P(None, "tp")
+    # row-parallel: reduce the tp-sharded dim back to hidden
+    if "attn.o" in path or "mlp.down" in path:
+        return P("tp", None)
+    if path in ("embed", "lm_head"):
+        return P(None, "tp") if path == "lm_head" else P("tp", None)
+    return P()  # norms, everything else: replicated
+
+
+def param_pspecs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec pytree matching the transformer params structure."""
+
+    def visit(path: str, node: Any) -> Any:
+        if isinstance(node, dict):
+            return {k: visit(f"{path}.{k}" if path else k, v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(path, v) for v in node]
+        return _spec_for(path)
+
+    return visit("", params)
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    specs = param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def sharded_loss_fn(params, cfg: TransformerConfig, ids, mask, mesh: Mesh):
+    """Next-token CE with a sequence-parallel activation constraint."""
+    logits = forward(params, cfg, ids, mask)
+    logits = jax.lax.with_sharding_constraint(
+        logits, NamedSharding(mesh, P("dp", None, "tp"))
+    )
+    targets = ids[:, 1:]
+    valid = mask[:, 1:] & mask[:, :-1]
+    losses = optax.softmax_cross_entropy_with_integer_labels(logits[:, :-1, :], targets)
+    return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_sharded_train_step(cfg: TransformerConfig, mesh: Mesh, tx):
+    """The full jitted dp/tp-sharded training step (loss + grads + update)."""
+
+    def step(params, opt_state, ids, mask):
+        loss, grads = jax.value_and_grad(
+            lambda p: sharded_loss_fn(p, cfg, ids, mask, mesh)
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def shard_batch(ids: np.ndarray, mask: np.ndarray, mesh: Mesh):
+    s = NamedSharding(mesh, P("dp", None))
+    return (
+        jax.device_put(jnp.asarray(ids), s),
+        jax.device_put(jnp.asarray(mask), s),
+    )

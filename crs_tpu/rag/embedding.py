@@ -65,26 +65,29 @@ class HashedEncoder:
         self._project = project
 
     def _feature_ids(self, text: str) -> Dict[int, float]:
-        words = basic_tokenize(text)
-        counts: Dict[int, int] = {}
-        grams: List[str] = list(words) + [f"{a}_{b}" for a, b in zip(words, words[1:])]
-        for g in grams:
-            h = hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
-            idx = int.from_bytes(h, "big") % self.num_features
-            counts[idx] = counts.get(idx, 0) + 1
-        # Sublinear tf
-        return {i: 1.0 + float(np.log(c)) for i, c in counts.items()}
+        from .hashed_features import featurize
+
+        return featurize(text, self.num_features)
 
     def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
         """Encode texts; ``pad_to`` pads the batch dim so every call through
         a given batch size compiles exactly once (each new shape costs a
-        20–40s remote compile on the axon tunnel)."""
+        20–40s remote compile on the axon tunnel).
+
+        Featurization runs through the native C++ hot path when available
+        (crs_tpu.rag.hashed_features), with an identical-output Python
+        fallback.
+        """
+        from .hashed_features import featurize_batch
+
         b = max(len(texts), 1)
         rows = max(pad_to, b)
         feats = np.zeros((rows, self.num_features), np.float32)
-        for row, text in enumerate(texts):
-            for idx, w in self._feature_ids(text).items():
-                feats[row, idx] = w
+        if texts:
+            indices, weights, offsets = featurize_batch(texts, self.num_features)
+            for row in range(len(texts)):
+                lo, hi = offsets[row], offsets[row + 1]
+                feats[row, indices[lo:hi]] = weights[lo:hi]
         return np.asarray(self._project(jnp.asarray(feats)))[: len(texts)]
 
 

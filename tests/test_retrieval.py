@@ -77,8 +77,10 @@ def test_mmr_diversifies():
     chunks = [Chunk(text=t, chunk_id=f"chunk_{i}", tokens=len(t.split())) for i, t in enumerate(texts)]
     store = VectorStore({"format": "fp32", "block_size": 128})
     store.create_index(chunks, em.embed_chunks(chunks))
-    plain = ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": 0.0, "rerank": False, "diversity_penalty": 0.0})
-    divers = ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": 0.0, "rerank": False, "diversity_penalty": 0.6})
+    # threshold -1: the diverse chunk's raw relevance may be ~0 under the
+    # hashed encoder; this test exercises MMR, not threshold filtering.
+    plain = ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": -1.0, "rerank": False, "diversity_penalty": 0.0})
+    divers = ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": -1.0, "rerank": False, "diversity_penalty": 0.6})
     p = [r["text"] for r in plain.retrieve("quantization precision of weights")]
     d = [r["text"] for r in divers.retrieve("quantization precision of weights")]
     assert p[0] == p[1]  # duplicates dominate without MMR
