@@ -151,18 +151,22 @@ class VectorStore:
         k = min(top_k, self.n)
         if where:
             return self._masked_search(q, k, where)
+        # Measured routing (TPU v5e, 1M×384): the fused Pallas kernels win for
+        # small/medium query batches (B≤256: int8 fused 6.8ms vs XLA 9.3ms at
+        # B=64); at B≥512 XLA's top_k pipeline wins. Small corpora always use
+        # the one-matmul XLA path.
         on_tpu = jax.default_backend() == "tpu"
+        b = q.shape[0]
+        use_pallas = on_tpu and b <= 256
         if self.format in ("fp32", "bf16"):
-            # Fused Pallas scan on TPU for large corpora (avoids the [B, N]
-            # score matrix); small corpora go through the one-matmul XLA path.
-            if on_tpu and self._vectors.shape[0] >= 4 * self.block_size:
+            if use_pallas and self._vectors.shape[0] >= 4 * self.block_size:
                 s, i = pallas_topk(self._vectors, q, k, self.n, self.block_size)
             elif self._vectors.shape[0] > 65536:
                 s, i = blockwise_topk(self._vectors, q, k, self.n)
             else:
                 s, i = exact_topk(self._vectors, q, k, self.n)
         elif self.format == "int8":
-            if on_tpu and self._codes.shape[0] >= 4 * self.block_size:
+            if use_pallas and self._codes.shape[0] >= 4 * self.block_size:
                 cand_k = min(max(self.rescore_k, k), self.n)
                 _, cand = pallas_topk_int8(
                     self._codes, self._scales, q, cand_k, self.n, self.block_size

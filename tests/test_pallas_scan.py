@@ -86,3 +86,44 @@ def test_pallas_topk_single_block():
     s, i = pallas_topk(jnp.asarray(vectors), jnp.asarray(queries), 5, 100, block_size=128)
     _, ref_i = exact_topk(jnp.asarray(vectors), jnp.asarray(queries), 5, 100)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_segmax_recall_at_scale():
+    """Segment-max variant: high recall at realistic corpus scale (collision
+    rate ~k²·128/2N); exact per-element scores for found ids."""
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pallas_scan import pallas_topk_segmax
+    from crs_tpu.ops.topk import exact_topk
+
+    rng = np.random.default_rng(5)
+    n = 40000
+    vectors = _normalized(rng, n, 128)
+    queries = _normalized(rng, 8, 128)
+    s, i = pallas_topk_segmax(jnp.asarray(vectors), jnp.asarray(queries), 10, n, block_size=2048)
+    rs, ri = exact_topk(jnp.asarray(vectors), jnp.asarray(queries), 10, n)
+    recall = np.mean([
+        len(set(np.asarray(i)[b]) & set(np.asarray(ri)[b])) / 10 for b in range(8)
+    ])
+    assert recall >= 0.95, recall
+    # scores of found candidates are exact (they ARE the element scores)
+    found = np.isin(np.asarray(i), np.asarray(ri))
+    exact_map = {int(idx): float(v) for row_i, row_v in zip(np.asarray(ri), np.asarray(rs)) for idx, v in zip(row_i, row_v)}
+    for b in range(8):
+        for idx, v in zip(np.asarray(i)[b], np.asarray(s)[b]):
+            if int(idx) in exact_map:
+                assert abs(exact_map[int(idx)] - float(v)) < 1e-3
+
+
+def test_segmax_int8_padding_masked():
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pallas_scan import pallas_topk_segmax_int8
+    from crs_tpu.ops.quant import scalar_quantize
+
+    rng = np.random.default_rng(1)
+    vectors = np.concatenate([_normalized(rng, 3000, 128), 10 * np.ones((200, 128), np.float32)])
+    queries = _normalized(rng, 4, 128)
+    codes, scales = scalar_quantize(jnp.asarray(vectors))
+    s, i = pallas_topk_segmax_int8(codes, scales, jnp.asarray(queries), 8, 3000, block_size=512)
+    assert np.asarray(i).max() < 3000
