@@ -69,14 +69,14 @@ class HashedEncoder:
 
         return featurize(text, self.num_features)
 
-    def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
-        """Encode texts; ``pad_to`` pads the batch dim so every call through
-        a given batch size compiles exactly once (each new shape costs a
-        20–40s remote compile on the axon tunnel).
+    def encode_dev(self, texts: Sequence[str], pad_to: int = 0) -> jax.Array:
+        """Encode texts → device array [len(texts), dim], no host sync.
 
-        Featurization runs through the native C++ hot path when available
-        (crs_tpu.rag.hashed_features), with an identical-output Python
-        fallback.
+        ``pad_to`` pads the batch dim so every call through a given batch
+        size compiles exactly once (each new shape costs a 20–40s remote
+        compile on the axon tunnel). Featurization runs through the native
+        C++ hot path when available (crs_tpu.rag.hashed_features), with an
+        identical-output Python fallback.
         """
         from .hashed_features import featurize_batch
 
@@ -88,7 +88,10 @@ class HashedEncoder:
             for row in range(len(texts)):
                 lo, hi = offsets[row], offsets[row + 1]
                 feats[row, indices[lo:hi]] = weights[lo:hi]
-        return np.asarray(self._project(jnp.asarray(feats)))[: len(texts)]
+        return self._project(jnp.asarray(feats))[: len(texts)]
+
+    def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
+        return np.asarray(self.encode_dev(texts, pad_to))
 
 
 class EmbeddingModel:
@@ -123,20 +126,28 @@ class EmbeddingModel:
         logger.info("EmbeddingModel backend=%s dim=%d", self.backend, self.embedding_dim)
 
     # -- public API (reference embed :47-73, embed_chunks :75-87) ----------
-    def embed(self, texts: Sequence[str]) -> np.ndarray:
+    def embed(self, texts: Sequence[str], as_numpy: bool = True):
+        """Embed texts → [N, dim] L2-normalized.
+
+        ``as_numpy=False`` (hashed backend) returns the device array without
+        a host sync, letting callers pipeline the scan behind it — host↔
+        device round trips dominate small-batch serving latency on the
+        tunnel.
+        """
         if isinstance(texts, str):
             texts = [texts]
         if not texts:
             return np.zeros((0, self.embedding_dim), np.float32)
         if self.backend == "hashed":
-            out = []
-            for i in range(0, len(texts), self.batch_size):
-                out.append(
-                    self._hashed.encode(
-                        texts[i : i + self.batch_size], pad_to=self.batch_size
-                    )
-                )
-            return np.concatenate(out, axis=0)
+            # One padded projection per ≤512 texts (a device call per
+            # sub-batch costs ~50ms dispatch on the tunnel).
+            outs = []
+            for i in range(0, len(texts), 512):
+                group = texts[i : i + 512]
+                pad = _bucket_len(max(len(group), 8)) if len(group) < 512 else 512
+                outs.append(self._hashed.encode_dev(group, pad_to=max(pad, self.batch_size)))
+            dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            return np.asarray(dev) if as_numpy else dev
         return self._embed_minilm(texts)
 
     def embed_chunks(self, chunks: Sequence[Any]) -> np.ndarray:

@@ -55,7 +55,7 @@ def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
 class VectorStore:
     """Stateful shell around the on-device index arrays + host metadata."""
 
-    def __init__(self, config: Optional[Dict[str, Any]] = None):
+    def __init__(self, config: Optional[Dict[str, Any]] = None, mesh=None):
         config = config or {}
         self.format = config.get("format", "fp32")
         if self.format not in INDEX_FORMATS:
@@ -67,6 +67,10 @@ class VectorStore:
         self.pq_clusters = int(config.get("pq_clusters", 256))
         self.pq_iters = int(config.get("pq_iters", 25))
         self.seed = int(config.get("seed", 0))
+        # Optional device mesh: corpus rows shard across the mesh's corpus
+        # axis and queries run the shard_map scan + allgather merge
+        # (BASELINE.json config #5). None → single-device arrays.
+        self.mesh = mesh
         self._clear()
         if self.persist_directory and os.path.exists(
             os.path.join(self.persist_directory, "index_meta.json")
@@ -117,6 +121,15 @@ class VectorStore:
             self.save(self.persist_directory)
 
     def _build_device_arrays(self, padded: np.ndarray) -> None:
+        if self.mesh is not None:
+            if self.format not in ("fp32", "bf16"):
+                raise ValueError("mesh-sharded store currently supports fp32/bf16")
+            from ..parallel.sharded_index import shard_corpus
+
+            self._vectors, _ = shard_corpus(padded.astype(np.float32), self.mesh)
+            if self.format == "bf16":
+                self._vectors = self._vectors.astype(jnp.bfloat16)
+            return
         if self.format == "fp32":
             self._vectors = jnp.asarray(padded, jnp.float32)
         elif self.format == "bf16":
@@ -151,6 +164,19 @@ class VectorStore:
         k = min(top_k, self.n)
         if where:
             return self._masked_search(q, k, where)
+        s, i = self.search_batch_dev(q, k)
+        return np.asarray(s), np.asarray(i)
+
+    def search_batch_dev(
+        self, q: jax.Array, top_k: int
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Device-level batched search: no host sync — callers can pipeline
+        further device work (candidate gather, MMR) before materializing."""
+        k = min(top_k, self.n)
+        if self.mesh is not None:
+            from ..parallel.sharded_index import sharded_topk
+
+            return sharded_topk(self._vectors, q, k, self.n, self.mesh)
         # Measured routing (TPU v5e, 1M×384): the fused Pallas kernels win for
         # small/medium query batches (B≤256: int8 fused 6.8ms vs XLA 9.3ms at
         # B=64); at B≥512 XLA's top_k pipeline wins. Small corpora always use
@@ -181,7 +207,14 @@ class VectorStore:
             cand_k = min(max(self.rescore_k, k), self.n)
             _, cand = pq_adc_topk(self._pq_codebook, self._pq_codes, q, cand_k, self.n)
             s, i = _rescore(self._codes, self._scales, q, cand, k)
-        return np.asarray(s), np.asarray(i)
+        return s, i
+
+    def gather_vectors_dev(self, rows: jax.Array) -> jax.Array:
+        """Device-level dense-row gather (for MMR), no host sync."""
+        rows = jnp.maximum(rows, 0)
+        if self._vectors is not None:
+            return self._vectors[rows].astype(jnp.float32)
+        return self._codes[rows].astype(jnp.float32) * self._scales[rows][..., None]
 
     def _masked_search(self, q: jax.Array, k: int, where: Dict[str, Any]):
         """Metadata-filtered search: host-built row mask + masked exact scan."""

@@ -88,8 +88,19 @@ class ContextRetriever:
             return [[] for _ in queries]
         use_mmr = self.diversity_penalty > 0
         fetch_k = min(2 * k if (self.rerank or use_mmr) else k, self.store.n)
-        q_emb = self.embedder.embed(list(queries))  # device call 1
-        scores, rows = self.store.search_batch(q_emb, top_k=fetch_k)  # call 2
+
+        # Serving path: embed → scan → candidate-gather are dispatched
+        # back-to-back WITHOUT host syncs, then materialized once — host↔
+        # device round trips (~50ms each on the axon tunnel) dominate batch
+        # latency otherwise.
+        q_emb = self.embedder.embed(list(queries), as_numpy=False)
+        if isinstance(q_emb, np.ndarray):  # backend without a device path
+            q_emb = jnp.asarray(q_emb)
+        s_dev, r_dev = self.store.search_batch_dev(q_emb, fetch_k)
+        v_dev = self.store.gather_vectors_dev(r_dev) if use_mmr else None
+        scores = np.asarray(s_dev)
+        rows = np.asarray(r_dev)
+        cand_vecs = np.asarray(v_dev) if v_dev is not None else None
         b, f = scores.shape
         if f == 0:
             return [[] for _ in queries]
@@ -109,14 +120,14 @@ class ContextRetriever:
         ranked = np.take_along_axis(ranked, order, axis=1)
         valid = np.take_along_axis(valid, order, axis=1)
 
-        # MMR diversity (reference :219-277) — one batched device call
-        if use_mmr and f > k:
-            flat = self.store.get_vectors(np.maximum(rows.reshape(-1), 0))  # call 3
-            emb = flat.reshape(b, f, -1)
+        # MMR diversity (reference :219-277) — one batched device call, using
+        # the candidate vectors gathered in the pipelined phase above
+        if use_mmr and f > k and cand_vecs is not None:
+            emb = np.take_along_axis(cand_vecs, order[:, :, None], axis=1)
             lam = 1.0 - self.diversity_penalty
             picks = np.asarray(
                 mmr_select_batch(jnp.asarray(emb), jnp.asarray(ranked, np.float32), k, lam)
-            )  # call 4
+            )
             scores, rows, ranked, valid = _apply_picks(scores, rows, ranked, valid, picks)
 
         results: List[List[Dict[str, Any]]] = []

@@ -75,3 +75,43 @@ def test_sharded_topk_single_device_mesh():
     s, i = sharded_topk(sharded, jnp.asarray(queries), 5, valid_n, mesh1)
     _, ref_i = exact_topk(jnp.asarray(vectors), jnp.asarray(queries), 5, 200)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_sharded_vector_store(mesh8):
+    """VectorStore with a mesh: rows shard across devices, results match
+    the single-device store exactly."""
+    from crs_tpu.rag.chunking import Chunk
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(3)
+    vectors = _normalized(rng, 500, 64)
+    queries = _normalized(rng, 4, 64)
+    chunks = [Chunk(text=f"doc {i}", chunk_id=f"chunk_{i}", tokens=2) for i in range(500)]
+
+    plain = VectorStore({"format": "fp32", "block_size": 128})
+    plain.create_index(chunks, vectors)
+    s1, i1 = plain.search_batch(queries, top_k=5)
+
+    sharded = VectorStore({"format": "fp32", "block_size": 128}, mesh=mesh8)
+    sharded.create_index(chunks, vectors)
+    s2, i2 = sharded.search_batch(queries, top_k=5)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    # MMR gather path works on the sharded array too
+    v = sharded.get_vectors(np.array([0, 3, 7]))
+    np.testing.assert_allclose(v, vectors[[0, 3, 7]], atol=1e-6)
+
+
+def test_sharded_store_rejects_quantized(mesh8):
+    import pytest as _pytest
+
+    from crs_tpu.rag.chunking import Chunk
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(3)
+    vectors = _normalized(rng, 100, 32)
+    chunks = [Chunk(text=f"d{i}", chunk_id=f"chunk_{i}", tokens=1) for i in range(100)]
+    store = VectorStore({"format": "int8"}, mesh=mesh8)
+    with _pytest.raises(ValueError):
+        store.create_index(chunks, vectors)
