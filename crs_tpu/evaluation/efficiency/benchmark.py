@@ -80,6 +80,19 @@ class EfficiencyBenchmark(ModelBenchmark[EfficiencyResults]):
         # energy
         stage("energy", lambda: energy.estimate_energy_per_token(m.get("latency_ms_per_token")))
 
+        # optional jax.profiler trace of one generate call (SURVEY §5)
+        if self.config.get("capture_profile"):
+            def _trace():
+                from ...utils.profiling import capture_trace
+
+                _, trace_dir = capture_trace(
+                    lambda: self.model.generate("profile trace prompt", max_new_tokens=8),
+                    self.config.get("profile_dir", "/tmp/crs_tpu_trace"),
+                )
+                return {"profile_trace_dir": trace_dir}
+
+            stage("profile", _trace)
+
         # baseline comparison (compression / speedup / memory reduction)
         if self.baseline:
             b = self.baseline

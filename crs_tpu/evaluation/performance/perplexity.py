@@ -28,6 +28,15 @@ __all__ = ["PerplexityEvaluator"]
 
 _BUNDLED_PDF = "/root/reference/data/2308.07633v4-clean.pdf"
 
+_BUCKETS = (32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return _BUCKETS[-1]
+
 
 class PerplexityEvaluator:
     def __init__(self, model, config: Optional[Dict[str, Any]] = None):
@@ -85,10 +94,16 @@ class PerplexityEvaluator:
         }
 
     def _token_nll(self, ids: List[int], score_from: int) -> float:
-        """Sum of -log p(token | prefix) for positions >= score_from."""
+        """Sum of -log p(token | prefix) for positions >= score_from.
+
+        ids are tail-padded to power-of-two buckets so every length compiles
+        once (causal attention makes trailing pads score-neutral).
+        """
         import jax.nn
 
-        arr = np.asarray(ids, np.int32)[None, :]
+        blen = _bucket(len(ids))
+        arr = np.zeros((1, blen), np.int32)
+        arr[0, : len(ids)] = ids
         logits = self.model.forward(arr)[0]
         logprobs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
         nll = 0.0

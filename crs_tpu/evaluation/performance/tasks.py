@@ -125,6 +125,44 @@ class MultipleChoiceTask:
         }
 
 
+def generate_config_template(preset: str = "standard") -> Dict[str, Any]:
+    """Config template for a preset's tasks (reference lm_eval_utils:41-191)."""
+    if preset not in PRESETS:
+        raise ValueError(f"unknown preset: {preset} (known: {sorted(PRESETS)})")
+    return {
+        name: {
+            "enabled": True,
+            "num_fewshot": TASK_REGISTRY[name]["num_fewshot"],
+            "limit": 50,
+            "metric": TASK_REGISTRY[name]["metric"],
+        }
+        for name in PRESETS[preset]
+    }
+
+
+def main(argv=None) -> int:
+    """Task-utility CLI (reference lm_eval_utils.py:262-297)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Task registry utilities")
+    ap.add_argument("--list", action="store_true", help="list all tasks")
+    ap.add_argument("--presets", action="store_true", help="list presets")
+    ap.add_argument("--template", metavar="PRESET", help="print a config template")
+    args = ap.parse_args(argv)
+    if args.list:
+        for name, info in sorted(TASK_REGISTRY.items()):
+            print(f"{name:18s} metric={info['metric']:16s} fewshot={info['num_fewshot']} "
+                  f"category={info['category']}")
+    elif args.presets:
+        for name, tasks in PRESETS.items():
+            print(f"{name}: {', '.join(tasks)}")
+    elif args.template:
+        print(json.dumps(generate_config_template(args.template), indent=2))
+    else:
+        print(f"{len(TASK_REGISTRY)} tasks, {len(PRESETS)} presets (--list / --presets / --template)")
+    return 0
+
+
 def build_corpus_qa_task(
     qa_path: str = "/root/reference/data/2308.07633v4-qa.json",
     num_choices: int = 4,

@@ -50,13 +50,28 @@ class MiniLMConfig:
         return self.hidden_size // self.num_heads
 
 
-def init_minilm_params(key: jax.Array, cfg: MiniLMConfig) -> Params:
-    """Deterministic truncated-normal init (std 0.02, BERT convention)."""
-    keys = iter(jax.random.split(key, 16 + cfg.num_layers * 16))
+def init_minilm_params(key, cfg: MiniLMConfig) -> Params:
+    """Deterministic truncated-normal init (std 0.02, BERT convention).
+
+    Host-side numpy generation: per-matrix jax.random calls would each be a
+    separate remote compile on the axon tunnel.
+    """
+    if isinstance(key, int):
+        seed = key
+    else:
+        try:
+            seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        except TypeError:
+            seed = int(np.asarray(key).ravel()[-1])
+    rng = np.random.default_rng(seed)
+
+    def trunc(shape) -> np.ndarray:
+        w = rng.standard_normal(shape).astype(np.float32)
+        return np.clip(w, -2.0, 2.0) * 0.02
 
     def dense(kin: int, kout: int) -> Params:
         return {
-            "kernel": jax.random.truncated_normal(next(keys), -2, 2, (kin, kout), cfg.dtype) * 0.02,
+            "kernel": jnp.asarray(trunc((kin, kout)), cfg.dtype),
             "bias": jnp.zeros((kout,), cfg.dtype),
         }
 
@@ -66,9 +81,9 @@ def init_minilm_params(key: jax.Array, cfg: MiniLMConfig) -> Params:
     h, ffn = cfg.hidden_size, cfg.intermediate_size
     params: Params = {
         "embeddings": {
-            "word": jax.random.truncated_normal(next(keys), -2, 2, (cfg.vocab_size, h), cfg.dtype) * 0.02,
-            "position": jax.random.truncated_normal(next(keys), -2, 2, (cfg.max_position_embeddings, h), cfg.dtype) * 0.02,
-            "token_type": jax.random.truncated_normal(next(keys), -2, 2, (cfg.type_vocab_size, h), cfg.dtype) * 0.02,
+            "word": jnp.asarray(trunc((cfg.vocab_size, h)), cfg.dtype),
+            "position": jnp.asarray(trunc((cfg.max_position_embeddings, h)), cfg.dtype),
+            "token_type": jnp.asarray(trunc((cfg.type_vocab_size, h)), cfg.dtype),
             "ln": ln(),
         },
         "layers": [],

@@ -74,14 +74,22 @@ class QuantizedTensor:
         return (grouped * self.scales[:, None, :]).reshape(kin, kout)
 
 
-def quantize_tensor(w: jax.Array, bits: int = 8, group_size: int = 128) -> QuantizedTensor:
-    w = w.astype(jnp.float32)
+def quantize_tensor(w, bits: int = 8, group_size: int = 128) -> QuantizedTensor:
+    """On-the-fly weight quantization, computed HOST-side (numpy).
+
+    Per-matrix eager jnp ops would each compile a separate program — dozens
+    of 20-40s remote compiles when quantizing a full model on the axon
+    tunnel. numpy round is round-half-even like XLA's.
+    """
+    w = np.asarray(w, np.float32)
     kin, kout = w.shape
     if bits == 8:
-        amax = jnp.max(jnp.abs(w), axis=0)
-        scales = jnp.maximum(amax, 1e-12) / 127.0
-        codes = jnp.clip(jnp.round(w / scales[None, :]), -127, 127).astype(jnp.int8)
-        return QuantizedTensor(codes, scales, 8, 0, (kin, kout))
+        amax = np.max(np.abs(w), axis=0)
+        scales = np.maximum(amax, 1e-12) / 127.0
+        codes = np.clip(np.round(w / scales[None, :]), -127, 127).astype(np.int8)
+        return QuantizedTensor(
+            jnp.asarray(codes), jnp.asarray(scales.astype(np.float32)), 8, 0, (kin, kout)
+        )
     if bits == 4:
         if kin % group_size != 0 or kin % 2 != 0:
             group_size = kin if kin % 2 == 0 else 0
@@ -89,16 +97,18 @@ def quantize_tensor(w: jax.Array, bits: int = 8, group_size: int = 128) -> Quant
             raise ValueError("int4 requires an even input dim")
         g = kin // group_size
         grouped = w.reshape(g, group_size, kout)
-        amax = jnp.max(jnp.abs(grouped), axis=1)
-        scales = jnp.maximum(amax, 1e-12) / 7.0
-        vals = jnp.clip(jnp.round(grouped / scales[:, None, :]), -7, 7).astype(jnp.int8)
+        amax = np.max(np.abs(grouped), axis=1)
+        scales = np.maximum(amax, 1e-12) / 7.0
+        vals = np.clip(np.round(grouped / scales[:, None, :]), -7, 7).astype(np.int8)
         vals = vals.reshape(kin, kout)
         # pack two int4 values per int8 along the input dim
         pairs = vals.reshape(kin // 2, 2, kout)
         lo = pairs[:, 0, :] & 0x0F
-        hi = jnp.left_shift(pairs[:, 1, :], 4)
-        packed = (lo | hi).astype(jnp.int8)
-        return QuantizedTensor(packed, scales, 4, group_size, (kin, kout))
+        hi = np.left_shift(pairs[:, 1, :].astype(np.int16), 4).astype(np.int16)
+        packed = (lo.astype(np.int16) | hi).astype(np.int8)
+        return QuantizedTensor(
+            jnp.asarray(packed), jnp.asarray(scales.astype(np.float32)), 4, group_size, (kin, kout)
+        )
     raise ValueError(f"unsupported bits: {bits}")
 
 

@@ -81,17 +81,38 @@ class KVCache(NamedTuple):
     length: jax.Array  # [] int32 — tokens currently in cache
 
 
-def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
-    """Deterministic scaled-normal init."""
-    n_mats = 7 * cfg.num_layers + 2
-    keys = iter(jax.random.split(key, n_mats))
+def _np_seed(key) -> int:
+    if isinstance(key, int):
+        return key
+    import numpy as _np
+
+    try:
+        data = _np.asarray(jax.random.key_data(key)).ravel()
+    except TypeError:
+        data = _np.asarray(key).ravel()
+    return int(data[-1])
+
+
+def init_params(key, cfg: TransformerConfig) -> Params:
+    """Deterministic scaled-normal init.
+
+    Weights are generated HOST-side (numpy) and transferred: per-matrix
+    ``jax.random.normal`` calls would each be a separate compiled program —
+    ~115 remote compiles × 20-40s on the axon tunnel for a 1B model.
+    """
+    import numpy as _np
+
+    rng = _np.random.default_rng(_np_seed(key))
     d, hd = cfg.hidden_size, cfg.head_dim
 
     def mat(kin: int, kout: int) -> jax.Array:
-        return (jax.random.normal(next(keys), (kin, kout), jnp.float32) * (kin**-0.5)).astype(cfg.dtype)
+        w = rng.standard_normal((kin, kout), dtype=_np.float32) * (kin**-0.5)
+        return jnp.asarray(w, cfg.dtype)
 
     params: Params = {
-        "embed": jax.random.normal(next(keys), (cfg.vocab_size, d), jnp.float32).astype(cfg.dtype) * 0.02,
+        "embed": jnp.asarray(
+            rng.standard_normal((cfg.vocab_size, d), dtype=_np.float32) * 0.02, cfg.dtype
+        ),
         "layers": [],
         "final_norm": {"scale": jnp.ones((d,), cfg.dtype)},
     }

@@ -39,3 +39,31 @@ def shard_rows(arr: jax.Array, mesh: Mesh, axis_name: str = "corpus") -> jax.Arr
 def replicate(arr: jax.Array, mesh: Mesh) -> jax.Array:
     """Replicate an array on every device of the mesh."""
     return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host (DCN) initialization via ``jax.distributed.initialize``.
+
+    The DCN tier from SURVEY.md §5: on a multi-host pod slice each host calls
+    this before building meshes; ``jax.devices()`` then spans all hosts and
+    the same mesh/sharding code runs unchanged (collectives ride ICI within
+    a slice and DCN across). On a single host this is a no-op returning 1.
+
+    Args default to the standard env-based auto-detection (GKE/TPU-VM set the
+    coordinator env vars); returns the process count.
+    """
+    if num_processes in (None, 1) and coordinator_address is None:
+        import os
+
+        if "COORDINATOR_ADDRESS" not in os.environ and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+            return 1  # single host — nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()

@@ -53,9 +53,13 @@ class HashedEncoder:
     def __init__(self, dim: int = 384, num_features: int = 32768, seed: int = 0):
         self.dim = dim
         self.num_features = num_features
-        key = jax.random.PRNGKey(seed)
-        # Fixed Gaussian projection; scaled so projected vectors are O(1).
-        self._proj = jax.random.normal(key, (num_features, dim), jnp.float32) / np.sqrt(dim)
+        # Fixed Gaussian projection, generated host-side (a jax.random call
+        # would be one more remote compile on the tunnel); scaled so
+        # projected vectors are O(1).
+        rng = np.random.default_rng(seed)
+        self._proj = jnp.asarray(
+            rng.standard_normal((num_features, dim)).astype(np.float32) / np.sqrt(dim)
+        )
 
         @jax.jit
         def project(feats: jax.Array) -> jax.Array:

@@ -255,20 +255,56 @@ class VectorStore:
                 return arr.shape[0]
         return 0
 
+    def add(self, chunks: Sequence[Any], embeddings: np.ndarray) -> None:
+        """Incremental add (reference collection.add, indexing.py:114-119):
+        appends chunks and rebuilds the device arrays (PQ codebooks are
+        retrained on the grown corpus)."""
+        if self.n == 0:
+            self.create_index(chunks, embeddings)
+            return
+        old_vectors = np.asarray(self._dense_vectors())[: self.n]
+        old = (self.ids, self.documents, self.metadatas)
+        all_emb = np.concatenate([old_vectors, np.asarray(embeddings, np.float32)])
+        ids, docs, mds = list(old[0]), list(old[1]), list(old[2])
+        for i, c in enumerate(chunks):
+            if hasattr(c, "text"):
+                ids.append(c.chunk_id)
+                docs.append(c.text)
+                mds.append(c.to_metadata())
+            else:
+                ids.append(f"chunk_{len(ids)}")
+                docs.append(str(c))
+                mds.append({})
+        n = all_emb.shape[0]
+        self._clear()
+        self.n, self.dim = n, int(all_emb.shape[1])
+        self.ids, self.documents, self.metadatas = ids, docs, mds
+        self._build_device_arrays(_pad_rows(all_emb, self.block_size))
+        logger.info("Index grown to %d vectors", self.n)
+
     def search(
         self,
         query_embedding: np.ndarray,  # [D] or [1, D]
         top_k: int = 3,
         where: Optional[Dict[str, Any]] = None,
+        where_document: Optional[str] = None,
     ) -> Dict[str, List[List[Any]]]:
-        """Single-query search with the reference's result envelope (:125-180)."""
+        """Single-query search with the reference's result envelope (:125-180).
+
+        ``where_document`` filters hits whose text contains the substring
+        (reference's ``where_document={"$contains": ...}`` behavior).
+        """
         q = np.asarray(query_embedding, np.float32)
         if q.ndim == 1:
             q = q[None, :]
-        scores, idxs = self.search_batch(q, top_k=top_k, where=where)
+        fetch = top_k if not where_document else min(max(4 * top_k, 16), max(self.n, 1))
+        scores, idxs = self.search_batch(q, top_k=fetch, where=where)
         out_ids, out_docs, out_md, out_dist, out_sim = [], [], [], [], []
         for row_s, row_i in zip(scores, idxs):
             keep = [(s, i) for s, i in zip(row_s, row_i) if 0 <= i < self.n and s > -1e29]
+            if where_document:
+                keep = [(s, i) for s, i in keep if where_document in self.documents[i]]
+            keep = keep[:top_k]
             out_ids.append([self.ids[i] for _, i in keep])
             out_docs.append([self.documents[i] for _, i in keep])
             out_md.append([self.metadatas[i] for _, i in keep])

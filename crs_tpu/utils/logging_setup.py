@@ -66,3 +66,8 @@ def setup_for_production(log_file: Optional[str] = None) -> logging.Logger:
 def setup_for_benchmarking(log_file: Optional[str] = None) -> logging.Logger:
     """Quiet console, full detail to file — matches the reference preset."""
     return setup_logging(level=logging.INFO, log_file=log_file)
+
+
+def setup_for_notebook() -> logging.Logger:
+    """Compact format for notebooks (reference :103)."""
+    return setup_logging(level=logging.INFO, fmt="%(levelname)s %(message)s")
