@@ -99,3 +99,67 @@ def sharded_topk(
     """Global exact top-k over the sharded corpus. Returns ([B,k], [B,k])."""
     valid = jnp.asarray(valid_n, jnp.int32)
     return _sharded_topk_impl(vectors, queries, valid, k, mesh, axis_name)
+
+
+@partial(jax.jit, static_argnames=("k", "rescore_k", "axis_name", "mesh"))
+def _sharded_topk_int8_impl(codes, scales, queries, valid_n, k: int, rescore_k: int, mesh: Mesh, axis_name: str):
+    num_shards = mesh.shape[axis_name]
+    per_shard = codes.shape[0] // num_shards
+
+    def local_scan(c_local, s_local, q, valid):
+        # c_local [per_shard, D] int8, s_local [per_shard] f32, q [B, D] f32
+        shard_idx = jax.lax.axis_index(axis_name)
+        offset = shard_idx * per_shard
+        # approximate int8 scan on the MXU
+        amax = jnp.max(jnp.abs(q), axis=-1, keepdims=True)
+        qs = jnp.maximum(amax, 1e-12) / 127.0
+        qq = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            qq, c_local.T,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        approx = acc.astype(jnp.float32) * qs * s_local[None, :]
+        local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, per_shard), 1) + offset
+        approx = jnp.where(local_ids < valid, approx, NEG_INF)
+        cand_k = min(rescore_k, per_shard)
+        _, cand = jax.lax.top_k(approx, cand_k)  # [B, cand_k] local row idx
+        # exact fp32 rescore of local candidates (dequantized)
+        cand_vecs = c_local[cand].astype(jnp.float32) * s_local[cand][..., None]
+        exact = jnp.einsum("bd,bcd->bc", q, cand_vecs, preferred_element_type=jnp.float32)
+        gids = cand + offset
+        exact = jnp.where(gids < valid, exact, NEG_INF)
+        k_local = min(k, cand_k)
+        s_top, sel = jax.lax.top_k(exact, k_local)
+        i_top = jnp.take_along_axis(gids, sel, axis=1)
+        all_s = jax.lax.all_gather(s_top, axis_name)
+        all_i = jax.lax.all_gather(i_top, axis_name)
+        b = q.shape[0]
+        flat_s = all_s.transpose(1, 0, 2).reshape(b, -1)
+        flat_i = all_i.transpose(1, 0, 2).reshape(b, -1)
+        top_s, sel2 = jax.lax.top_k(flat_s, min(k, flat_s.shape[1]))
+        return top_s, jnp.take_along_axis(flat_i, sel2, axis=1)
+
+    return jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(codes, scales, queries, valid_n)
+
+
+def sharded_topk_int8(
+    codes: jax.Array,  # [Np, D] int8, row-sharded
+    scales: jax.Array,  # [Np] f32, row-sharded
+    queries: jax.Array,
+    k: int,
+    valid_n: int,
+    mesh: Mesh,
+    rescore_k: int = 64,
+    axis_name: str = "corpus",
+) -> Tuple[jax.Array, jax.Array]:
+    """Sharded int8 scan: per-shard MXU int8 approx → local fp32 rescore →
+    allgather + global merge (the compressed multi-chip retrieval path)."""
+    valid = jnp.asarray(valid_n, jnp.int32)
+    return _sharded_topk_int8_impl(codes, scales, queries, valid, k, rescore_k, mesh, axis_name)

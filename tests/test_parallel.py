@@ -103,7 +103,29 @@ def test_sharded_vector_store(mesh8):
     np.testing.assert_allclose(v, vectors[[0, 3, 7]], atol=1e-6)
 
 
-def test_sharded_store_rejects_quantized(mesh8):
+def test_sharded_store_int8(mesh8):
+    """int8 mesh-sharded store: per-shard MXU scan + rescore + merge matches
+    the single-device int8 store's recall."""
+    from crs_tpu.rag.chunking import Chunk
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(4)
+    vectors = _normalized(rng, 600, 64)
+    queries = _normalized(rng, 4, 64)
+    chunks = [Chunk(text=f"d{i}", chunk_id=f"chunk_{i}", tokens=1) for i in range(600)]
+
+    plain = VectorStore({"format": "fp32", "block_size": 128})
+    plain.create_index(chunks, vectors)
+    _, ref_i = plain.search_batch(queries, top_k=5)
+
+    sharded = VectorStore({"format": "int8", "block_size": 128, "rescore_k": 32}, mesh=mesh8)
+    sharded.create_index(chunks, vectors)
+    _, i8 = sharded.search_batch(queries, top_k=5)
+    recall = np.mean([len(set(i8[r]) & set(ref_i[r])) / 5 for r in range(4)])
+    assert recall >= 0.9, recall
+
+
+def test_sharded_store_rejects_pq(mesh8):
     import pytest as _pytest
 
     from crs_tpu.rag.chunking import Chunk
@@ -112,6 +134,6 @@ def test_sharded_store_rejects_quantized(mesh8):
     rng = np.random.default_rng(3)
     vectors = _normalized(rng, 100, 32)
     chunks = [Chunk(text=f"d{i}", chunk_id=f"chunk_{i}", tokens=1) for i in range(100)]
-    store = VectorStore({"format": "int8"}, mesh=mesh8)
+    store = VectorStore({"format": "pq"}, mesh=mesh8)
     with _pytest.raises(ValueError):
         store.create_index(chunks, vectors)
