@@ -106,9 +106,13 @@ def measure_prefill_decode_latency(
     """Split prefill (forward-only) from decode (generate minus prefill)."""
     prompt = prompt or _DEFAULT_PROMPTS[0]
     try:
-        import jax
-
-        ids = np.asarray(model.tokenizer.encode(prompt), np.int32)[None, :]
+        seq = model.tokenizer.encode(prompt)
+        # bucket-pad so repeated measurements share one compiled program
+        blen = 32
+        while blen < len(seq):
+            blen *= 2
+        ids = np.zeros((1, blen), np.int32)
+        ids[0, : len(seq)] = seq
     except Exception:
         ids = None
 
@@ -132,11 +136,23 @@ def measure_prefill_decode_latency(
     except Exception as e:  # pragma: no cover
         logger.warning("decode measurement failed: %s", e)
 
+    # One-token generates give prefill+first-token without the full-logits
+    # host transfer that a raw forward would include.
+    first_token_times = []
+    try:
+        model.generate(prompt, max_new_tokens=1, temperature=0.0)
+        for _ in range(num_runs):
+            t0 = time.perf_counter()
+            model.generate(prompt, max_new_tokens=1, temperature=0.0)
+            first_token_times.append(time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover
+        logger.warning("first-token measurement failed: %s", e)
+
     out: Dict[str, Any] = {}
     if prefill_times:
         out["prefill_ms"] = float(np.mean(prefill_times) * 1000.0)
-    if total_times and prefill_times:
-        decode_s = max(np.mean(total_times) - np.mean(prefill_times), 0.0)
+    if total_times and first_token_times:
+        decode_s = max(np.mean(total_times) - np.mean(first_token_times), 0.0)
         out["decode_ms_per_token"] = float(decode_s * 1000.0 / max(max_new_tokens - 1, 1))
     elif total_times:
         out["decode_ms_per_token"] = float(np.mean(total_times) * 1000.0 / max_new_tokens)

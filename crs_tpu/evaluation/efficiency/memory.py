@@ -56,9 +56,13 @@ def get_device_memory() -> Dict[str, Any]:
 
         dev = jax.devices()[0]
         stats = dev.memory_stats() or {}
+        in_use = stats.get("bytes_in_use", 0)
+        peak = stats.get("peak_bytes_in_use", in_use)
+        if peak == 0:  # backend doesn't expose memory stats (e.g. axon tunnel)
+            return {"device_memory_in_use_mb": None, "device_memory_peak_mb": None}
         out = {
-            "device_memory_in_use_mb": stats.get("bytes_in_use", 0) / 1e6,
-            "device_memory_peak_mb": stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) / 1e6,
+            "device_memory_in_use_mb": in_use / 1e6,
+            "device_memory_peak_mb": peak / 1e6,
             "device_memory_limit_mb": stats.get("bytes_limit", 0) / 1e6,
         }
         return out

@@ -97,13 +97,27 @@ class PerplexityEvaluator:
         """Sum of -log p(token | prefix) for positions >= score_from.
 
         ids are tail-padded to power-of-two buckets so every length compiles
-        once (causal attention makes trailing pads score-neutral).
+        once; scoring runs on device and returns one scalar (transferring
+        full [1, S, V] logits costs tens of MB per call over the tunnel).
         """
-        import jax.nn
+        import jax.numpy as jnp
 
         blen = _bucket(len(ids))
         arr = np.zeros((1, blen), np.int32)
         arr[0, : len(ids)] = ids
+        mask = np.zeros((1, blen), np.bool_)
+        mask[0, : len(ids)] = True
+        if hasattr(self.model, "params") and hasattr(self.model, "cfg"):
+            from ...models.model_interface import _sequence_logprob
+
+            lp = _sequence_logprob(
+                self.model.params, self.model.cfg, jnp.asarray(arr),
+                jnp.asarray(mask), jnp.asarray(max(score_from, 1), jnp.int32),
+            )
+            return -float(lp[0])
+        # generic ModelInterface fallback: host-side scoring from raw logits
+        import jax.nn
+
         logits = self.model.forward(arr)[0]
         logprobs = np.asarray(jax.nn.log_softmax(logits, axis=-1))
         nll = 0.0

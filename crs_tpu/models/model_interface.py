@@ -18,7 +18,9 @@ the efficiency benchmarks measure.
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 import time
 from abc import ABC, abstractmethod
 from typing import Any, Dict, List, Optional, Sequence
@@ -27,10 +29,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from .bytes_tokenizer import ByteTokenizer
 from .quantized import params_num_bytes, quantize_params
 from .sampling import SamplingParams, generate_tokens
 from .transformer import CONFIGS, TransformerConfig, forward, init_params
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _sequence_logprob(params, cfg, ids, mask, start):
+    """Sum of log p(token|prefix) for positions ≥ start — computed ON device.
+
+    Transferring full [1, S, V] logits to score a continuation costs tens of
+    MB per call over the axon tunnel; this returns one scalar per row.
+    """
+    logits = forward(params, cfg, ids, mask)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    targets = ids[:, 1:]
+    lp = jnp.take_along_axis(logprobs[:, :-1, :], targets[..., None], axis=-1)[..., 0]
+    pos = jnp.arange(ids.shape[1] - 1)[None, :]
+    valid = (pos + 1 >= start) & mask[:, 1:] & mask[:, :-1]
+    return jnp.sum(lp * valid, axis=1)
 
 logger = logging.getLogger(__name__)
 
@@ -188,12 +208,11 @@ class JaxModel(ModelInterface):
         ids[0, : len(full)] = full
         mask = np.zeros((1, blen), np.bool_)
         mask[0, : len(full)] = True
-        logits = np.asarray(forward(self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask)))
-        logprobs = jax.nn.log_softmax(jnp.asarray(logits[0]), axis=-1)
-        total = 0.0
-        for pos in range(len(ctx), len(full)):
-            total += float(logprobs[pos - 1, full[pos]])
-        return total
+        out = _sequence_logprob(
+            self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(len(ctx), jnp.int32),
+        )
+        return float(out[0])
 
     def forward(self, input_ids: np.ndarray) -> np.ndarray:
         self._ensure()
@@ -222,6 +241,46 @@ class JaxModel(ModelInterface):
             return JaxLM(self)
         except ImportError as e:
             raise NotImplementedError(f"lm_eval not available: {e}")
+
+    # -- model cache (reference hqq_model.py qmodel.pt save/load :83-134) -----
+    def save_pretrained(self, path: str) -> None:
+        """Persist (possibly quantized / LoRA'd) params — reload skips both
+        weight conversion and on-the-fly quantization."""
+        self._ensure()
+        from ..utils.checkpoint import save_pytree
+
+        save_pytree(os.path.join(path, "model"), self.params)
+        meta = {
+            "config_name": self.config_name,
+            "quantization": self.quantization,
+            "cfg": {
+                "vocab_size": self.cfg.vocab_size,
+                "hidden_size": self.cfg.hidden_size,
+                "num_layers": self.cfg.num_layers,
+                "num_heads": self.cfg.num_heads,
+                "num_kv_heads": self.cfg.num_kv_heads,
+                "intermediate_size": self.cfg.intermediate_size,
+                "max_seq_len": self.cfg.max_seq_len,
+                "rope_theta": self.cfg.rope_theta,
+                "rms_eps": self.cfg.rms_eps,
+                "tie_embeddings": self.cfg.tie_embeddings,
+            },
+        }
+        with open(os.path.join(path, "model_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def load_pretrained(self, path: str) -> None:
+        from ..utils.checkpoint import load_pytree
+
+        with open(os.path.join(path, "model_meta.json")) as f:
+            meta = json.load(f)
+        self.cfg = TransformerConfig(dtype=jnp.bfloat16, **meta["cfg"])
+        self.params = load_pytree(os.path.join(path, "model"))
+        self.quantization = meta.get("quantization")
+        self.config_name = meta.get("config_name", self.config_name)
+        if self.tokenizer is None:
+            self.tokenizer = ByteTokenizer()
+        self._loaded = True
 
 
 def _pad_id(tok) -> int:

@@ -228,3 +228,38 @@ def test_byte_tokenizer_truncation():
     t = ByteTokenizer()
     ids = t.encode("a" * 100, max_length=10)
     assert len(ids) == 10
+
+
+def test_save_load_pretrained_quantized(tmp_path):
+    """Prequantized model cache (reference hqq qmodel.pt parity): reload
+    reproduces logits exactly without re-quantizing."""
+    m = create_model_interface("int8", {"config": "tiny"})
+    m.load()
+    ids = np.array([[5, 6, 7]], np.int32)
+    ref = m.forward(ids)
+    m.save_pretrained(str(tmp_path))
+
+    m2 = create_model_interface("jax", {"config": "tiny"})
+    m2.load_pretrained(str(tmp_path))
+    assert m2.quantization == "int8"
+    out = m2.forward(ids)
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_save_load_pretrained_lora(tmp_path):
+    import jax
+
+    from crs_tpu.finetuning.lora import LoRAWeight, add_lora
+
+    m = create_model_interface("jax", {"config": "tiny"})
+    m.load()
+    m.params = add_lora(m.params, jax.random.PRNGKey(1), rank=2)
+    lw = m.params["layers"][0]["attn"]["q"]
+    m.params["layers"][0]["attn"]["q"] = LoRAWeight(lw.base, lw.lora_a, lw.lora_b + 0.05, lw.alpha, lw.rank)
+    ids = np.array([[9, 2, 4]], np.int32)
+    ref = m.forward(ids)
+    m.save_pretrained(str(tmp_path))
+
+    m2 = create_model_interface("jax", {"config": "tiny"})
+    m2.load_pretrained(str(tmp_path))
+    np.testing.assert_array_equal(ref, m2.forward(ids))
