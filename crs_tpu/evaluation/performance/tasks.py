@@ -101,12 +101,23 @@ class MultipleChoiceTask:
         items = self.items[: int(limit)] if limit else self.items
         if not items:
             return {"task": self.name, "metric": self.metric, "score": None, "num_items": 0}
+        # batched scoring when the model supports it (one device call per
+        # length bucket vs one per choice)
+        pairs = [
+            (item["query"], " " + c.lstrip())
+            for item in items for c in item["choices"]
+        ]
+        if hasattr(model, "get_loglikelihood_batch"):
+            flat = model.get_loglikelihood_batch(pairs)
+        else:
+            flat = [model.get_loglikelihood(q, c) for q, c in pairs]
         correct = correct_norm = 0
+        cursor = 0
         for item in items:
-            query = item["query"]
             choices = item["choices"]
             gold = int(item["gold"])
-            lls = [model.get_loglikelihood(query, " " + c.lstrip()) for c in choices]
+            lls = flat[cursor : cursor + len(choices)]
+            cursor += len(choices)
             if int(max(range(len(lls)), key=lambda i: lls[i])) == gold:
                 correct += 1
             # length-normalized (acc_norm): divide by continuation chars

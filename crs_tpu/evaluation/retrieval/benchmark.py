@@ -71,12 +71,21 @@ class RetrievalBenchmark(ModelBenchmark[RetrievalResults]):
             questions = questions[: int(self.max_questions)]
         if not questions:
             raise ValueError("no test questions configured")
+        if getattr(self.pipeline, "store", None) is not None and self.pipeline.store.n == 0:
+            raise ValueError(
+                "vector store is empty — index a corpus before the retrieval "
+                "benchmark (silent zero-metrics otherwise)"
+            )
         mode = self._mode(questions)
         texts = [q["question"] for q in questions]
         n = len(texts)
         m: Dict[str, Any] = {"mode": mode, "num_questions": n}
 
         # -- retrieval (batched, timed) -------------------------------------
+        if self.config.get("retrieval_warmup", True):
+            # unmeasured pass: first-call compiles cost 20-40s per shape on
+            # the TPU tunnel and would dominate the timing otherwise
+            self.pipeline.retrieve_batch(texts)
         t0 = time.perf_counter()
         all_chunks = self.pipeline.retrieve_batch(texts)
         retrieval_s = time.perf_counter() - t0
@@ -109,6 +118,10 @@ class RetrievalBenchmark(ModelBenchmark[RetrievalResults]):
             q.get("answer") for q in questions
         ):
             refs = [q.get("answer", "") for q in questions]
+            if self.config.get("generation_warmup", True):
+                # one unmeasured pass so compile time (30-40s per shape on
+                # the TPU tunnel) doesn't pollute the generation timing
+                self.pipeline.generator.generate_batch(texts[:1], contexts[:1])
             t0 = time.perf_counter()
             rag_answers = self.pipeline.generator.generate_batch(texts, contexts)
             rag_s = time.perf_counter() - t0

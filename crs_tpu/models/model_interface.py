@@ -23,7 +23,7 @@ import logging
 import os
 import time
 from abc import ABC, abstractmethod
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,17 +39,20 @@ from .transformer import CONFIGS, TransformerConfig, forward, init_params
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _sequence_logprob(params, cfg, ids, mask, start):
-    """Sum of log p(token|prefix) for positions ≥ start — computed ON device.
+    """Per-row sum of log p(token|prefix) for positions ≥ start[b] — ON device.
 
-    Transferring full [1, S, V] logits to score a continuation costs tens of
+    Transferring full [B, S, V] logits to score continuations costs tens of
     MB per call over the axon tunnel; this returns one scalar per row.
+    ``start`` may be a scalar or a [B] vector of per-row offsets.
     """
     logits = forward(params, cfg, ids, mask)
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     targets = ids[:, 1:]
     lp = jnp.take_along_axis(logprobs[:, :-1, :], targets[..., None], axis=-1)[..., 0]
     pos = jnp.arange(ids.shape[1] - 1)[None, :]
-    valid = (pos + 1 >= start) & mask[:, 1:] & mask[:, :-1]
+    start = jnp.asarray(start)
+    start_col = start[:, None] if start.ndim == 1 else start
+    valid = (pos + 1 >= start_col) & mask[:, 1:] & mask[:, :-1]
     return jnp.sum(lp * valid, axis=1)
 
 logger = logging.getLogger(__name__)
@@ -213,6 +216,40 @@ class JaxModel(ModelInterface):
             jnp.asarray(len(ctx), jnp.int32),
         )
         return float(out[0])
+
+    def get_loglikelihood_batch(self, pairs: Sequence[Tuple[str, str]]) -> List[float]:
+        """Batched (context, continuation) scoring — one device call per
+        length bucket instead of one per pair (the lm-eval MC hot loop)."""
+        self._ensure()
+        encoded = []
+        for context, continuation in pairs:
+            ctx = self.tokenizer.encode(context)
+            full = self.tokenizer.encode(context + continuation)
+            encoded.append((ctx, full))
+        out = [0.0] * len(pairs)
+        order = sorted(range(len(pairs)), key=lambda i: len(encoded[i][1]))
+        pad = _pad_id(self.tokenizer)
+        group_size = 8
+        for gstart in range(0, len(order), group_size):
+            idx = order[gstart : gstart + group_size]
+            blen = _bucket(max(len(encoded[i][1]) for i in idx))
+            b = len(idx)
+            ids = np.full((group_size, blen), pad, np.int32)
+            mask = np.zeros((group_size, blen), np.bool_)
+            starts = np.zeros((group_size,), np.int32)
+            for row, i in enumerate(idx):
+                ctx, full = encoded[i]
+                ids[row, : len(full)] = full
+                mask[row, : len(full)] = True
+                starts[row] = max(len(ctx), 1)
+            lp = _sequence_logprob(
+                self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.asarray(starts),
+            )
+            lp = np.asarray(lp)
+            for row, i in enumerate(idx):
+                out[i] = float(lp[row])
+        return out
 
     def forward(self, input_ids: np.ndarray) -> np.ndarray:
         self._ensure()

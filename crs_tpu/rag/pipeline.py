@@ -77,7 +77,15 @@ class RAGPipeline:
         self.chunker.reset_ids()
         chunks: List[Chunk] = []
         for text, page in pages:
-            chunks.extend(self.chunker.chunk(text, page_number=page))
+            # section-labeled chunking (reference attaches section metadata
+            # from document processing, document_processing.py:169-218)
+            if self.doc_processor.extract_sections_enabled:
+                for title, body in self.doc_processor.extract_sections(text):
+                    chunks.extend(
+                        self.chunker.chunk(body, page_number=page, section=title or None)
+                    )
+            else:
+                chunks.extend(self.chunker.chunk(text, page_number=page))
         if not chunks:
             raise ValueError("no chunks produced from input documents")
         embeddings = self.embedder.embed_chunks(chunks)

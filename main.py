@@ -100,6 +100,13 @@ def main(argv=None) -> int:
             eval_cfg.setdefault("retrieval", {})["test_questions"] = (
                 RetrievalBenchmark.load_dataset_file(qa_file)
             )
+        # retrieval eval needs an index: build from the configured corpus
+        # when the store is empty (otherwise the benchmark raises)
+        if args.evaluate or args.eval_retrieval:
+            corpus_file = cfg.get("evaluation.retrieval.corpus_file")
+            if pipeline.store.n == 0 and corpus_file and Path(corpus_file).exists():
+                logger.info("indexing evaluation corpus %s", corpus_file)
+                pipeline.index_documents(corpus_file)
         runner = EvaluationRunner(model=model, pipeline=pipeline, config=eval_cfg, output_dir=args.output_dir)
         res = runner.run_all(
             run_efficiency=args.evaluate or args.eval_efficiency,
