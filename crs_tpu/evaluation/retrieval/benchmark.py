@@ -97,6 +97,17 @@ class RetrievalBenchmark(ModelBenchmark[RetrievalResults]):
         m["retrieval_consistency"] = float(np.std(scores)) if scores else None
         m["avg_chunks_retrieved"] = float(np.mean([len(c) for c in all_chunks]))
 
+        # repeat-based consistency (reference _evaluate_retrieval_consistency
+        # :725): re-run a subsample, Jaccard of returned id sets
+        repeat = self.pipeline.retrieve_batch(texts[: min(5, n)])
+        jac = []
+        for first, second in zip(all_chunks[: len(repeat)], repeat):
+            a = {c["id"] for c in first}
+            b = {c["id"] for c in second}
+            if a or b:
+                jac.append(len(a & b) / len(a | b))
+        m["retrieval_repeat_consistency"] = float(np.mean(jac)) if jac else None
+
         contexts = ["\n\n".join(c["text"] for c in chunks) for chunks in all_chunks]
         m["avg_context_length_chars"] = float(np.mean([len(c) for c in contexts]))
 

@@ -109,14 +109,27 @@ class RAGGenerator:
         return cut
 
     def _format_instruct_prompt(self, question: str, context: str) -> str:
-        """Mistral-instruct style prompt with context (reference :184-217)."""
+        """Chat-template prompt with plain fallback (reference :184-217)."""
         if context.strip():
-            return (
-                "[INST] Use the following context to answer the question. "
+            user = (
+                "Use the following context to answer the question. "
                 "Answer concisely based only on the context.\n\n"
-                f"Context:\n{context}\n\nQuestion: {question} [/INST]"
+                f"Context:\n{context}\n\nQuestion: {question}"
             )
-        return f"[INST] {question} [/INST]"
+        else:
+            user = question
+        # real-checkpoint tokenizers expose the model's own chat template
+        tok = getattr(self.model, "tokenizer", None)
+        apply = getattr(tok, "apply_chat_template", None)
+        if callable(apply):
+            try:
+                return apply(
+                    [{"role": "user", "content": user}],
+                    tokenize=False, add_generation_prompt=True,
+                )
+            except Exception:  # pragma: no cover - template-dependent
+                pass
+        return f"[INST] {user} [/INST]"
 
     def _format_simple_prompt(self, question: str, context: str) -> str:
         """The retry prompt (reference :78-91): plainer phrasing."""
