@@ -338,7 +338,12 @@ class QuantizedModelFinetuner:
         return sorted(steps)
 
     def _try_resume(self) -> int:
-        """Resume adapters from the highest checkpoint-* (reference :493-499)."""
+        """Resume adapters from the highest checkpoint-* (reference :493-499).
+
+        Restores adapter weights + the step counter; optimizer moments restart
+        fresh (a deliberate simplification — with warmup+cosine over the
+        remaining steps the effect on LoRA adapters is minor).
+        """
         ckpts = self._list_checkpoints()
         if not ckpts:
             return 0

@@ -207,7 +207,15 @@ def _load_local_checkpoint(path: str, cfg: MiniLMConfig):
             state = {k: v.numpy() for k, v in sd.items()}
     except Exception as e:  # pragma: no cover - environment dependent
         logger.warning("failed to load checkpoint %s: %s", path, e)
-    params = load_hf_bert_params(state, cfg) if state is not None else None
+    params = None
+    if state is not None:
+        try:
+            params = load_hf_bert_params(state, cfg)
+        except KeyError as e:
+            logger.warning(
+                "checkpoint at %s does not match the MiniLM config (missing %s); "
+                "falling back to deterministic init", path, e,
+            )
     tokenizer = None
     vocab_path = os.path.join(path, "vocab.txt")
     if os.path.exists(vocab_path):

@@ -397,6 +397,19 @@ class VectorStore:
         self.metadatas = meta["metadatas"]
         self._vectors = self._codes = self._scales = None
         self._pq_codes = self._pq_codebook = None
+        if self.mesh is not None and self.format in ("fp32", "bf16", "int8"):
+            # re-shard loaded arrays across the mesh
+            from ..parallel.sharded_index import shard_corpus
+
+            if "vectors" in arrays:
+                self._vectors, _ = shard_corpus(arrays["vectors"].astype(np.float32), self.mesh)
+                if self.format == "bf16":
+                    self._vectors = self._vectors.astype(jnp.bfloat16)
+            if "codes" in arrays and self.format == "int8":
+                self._codes, _ = shard_corpus(arrays["codes"].astype(np.int8), self.mesh)
+                self._scales, _ = shard_corpus(arrays["scales"].astype(np.float32), self.mesh)
+            logger.info("Loaded sharded index (%d vectors) from %s", self.n, directory)
+            return
         if "vectors" in arrays:
             dtype = jnp.bfloat16 if self.format == "bf16" else jnp.float32
             self._vectors = jnp.asarray(arrays["vectors"], dtype)

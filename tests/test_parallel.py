@@ -137,3 +137,24 @@ def test_sharded_store_rejects_pq(mesh8):
     store = VectorStore({"format": "pq"}, mesh=mesh8)
     with _pytest.raises(ValueError):
         store.create_index(chunks, vectors)
+
+
+def test_sharded_store_persistence_reshards(mesh8, tmp_path):
+    """Persisted index reloads into a mesh-sharded store and answers
+    identically."""
+    from crs_tpu.rag.chunking import Chunk
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(6)
+    vectors = _normalized(rng, 300, 32)
+    queries = _normalized(rng, 3, 32)
+    chunks = [Chunk(text=f"d{i}", chunk_id=f"chunk_{i}", tokens=1) for i in range(300)]
+    store = VectorStore({"format": "int8", "block_size": 64}, mesh=mesh8)
+    store.create_index(chunks, vectors)
+    s1, i1 = store.search_batch(queries, top_k=4)
+    store.save(str(tmp_path))
+
+    store2 = VectorStore({"format": "int8", "block_size": 64}, mesh=mesh8)
+    store2.load(str(tmp_path))
+    s2, i2 = store2.search_batch(queries, top_k=4)
+    np.testing.assert_array_equal(i1, i2)
