@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 __all__ = ["RetrievalMetrics"]
 

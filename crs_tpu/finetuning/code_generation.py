@@ -17,7 +17,7 @@ import json
 import logging
 import os
 import random
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 from .base import BaseDatasetLoader, DatasetSample
 

@@ -7,9 +7,8 @@ category modules declare their planned datasets and raise NotImplementedError
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
-from .base import DatasetSample
 from .code_generation import create_code_dataset_loader
 
 __all__ = ["load_dataset"]

@@ -15,7 +15,7 @@ dispatches on: ``x @ W_base + (x @ A) @ B · (α/r)``. Only A/B are trainable
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

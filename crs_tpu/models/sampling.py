@@ -14,12 +14,12 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .transformer import KVCache, TransformerConfig, decode_step, init_cache, prefill
+from .transformer import TransformerConfig, decode_step, init_cache, prefill
 
 __all__ = ["SamplingParams", "generate_tokens"]
 

@@ -10,7 +10,6 @@ texts per query, a second encoder forward; SURVEY.md §3.2 hot-loop note).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,17 +21,16 @@ reference contract (``embed(texts) -> np.ndarray``, reference :47-73).
 
 from __future__ import annotations
 
-import hashlib
 import logging
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.minilm import MiniLMConfig, MiniLMEncoder, load_hf_bert_params
-from ..models.tokenizer import HashTokenizer, WordPieceTokenizer, basic_tokenize
+from ..models.tokenizer import HashTokenizer, WordPieceTokenizer
 
 logger = logging.getLogger(__name__)
 

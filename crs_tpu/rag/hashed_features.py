@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import math
 import os
 import subprocess
 from typing import Dict, List, Optional, Sequence, Tuple
