@@ -49,6 +49,9 @@ def _bucket_len(n: int) -> int:
 class HashedEncoder:
     """Feature-hashing + fixed random projection sentence encoder."""
 
+    # nnz-per-text buckets: each (B, K) shape compiles once
+    _NNZ_BUCKETS = (64, 128, 256, 512, 1024)
+
     def __init__(self, dim: int = 384, num_features: int = 32768, seed: int = 0):
         self.dim = dim
         self.num_features = num_features
@@ -61,11 +64,16 @@ class HashedEncoder:
         )
 
         @jax.jit
-        def project(feats: jax.Array) -> jax.Array:
-            out = jnp.dot(feats, self._proj, preferred_element_type=jnp.float32)
+        def project_sparse(idx: jax.Array, w: jax.Array) -> jax.Array:
+            # emb[b] = Σ_k w[b,k] · proj[idx[b,k]] — equivalent to the dense
+            # feats @ proj matmul but transfers ~1MB of (idx, weight) pairs
+            # instead of a dense [B, 32768] matrix (67MB/batch, which at the
+            # tunnel's ~100MB/s transfer rate dominated serving latency).
+            rows = self._proj[idx]  # [B, K, D]
+            out = jnp.einsum("bk,bkd->bd", w, rows, preferred_element_type=jnp.float32)
             return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
 
-        self._project = project
+        self._project_sparse = project_sparse
 
     def _feature_ids(self, text: str) -> Dict[int, float]:
         from .hashed_features import featurize
@@ -85,13 +93,19 @@ class HashedEncoder:
 
         b = max(len(texts), 1)
         rows = max(pad_to, b)
-        feats = np.zeros((rows, self.num_features), np.float32)
-        if texts:
-            indices, weights, offsets = featurize_batch(texts, self.num_features)
-            for row in range(len(texts)):
-                lo, hi = offsets[row], offsets[row + 1]
-                feats[row, indices[lo:hi]] = weights[lo:hi]
-        return self._project(jnp.asarray(feats))[: len(texts)]
+        indices, weights, offsets = featurize_batch(texts, self.num_features) if texts else (
+            np.zeros(0, np.int64), np.zeros(0, np.float32), np.zeros(rows + 1, np.int64)
+        )
+        nnz = int(np.max(offsets[1:] - offsets[:-1])) if len(offsets) > 1 else 1
+        k = next((bk for bk in self._NNZ_BUCKETS if nnz <= bk), self._NNZ_BUCKETS[-1])
+        idx = np.zeros((rows, k), np.int32)
+        w = np.zeros((rows, k), np.float32)
+        for row in range(len(texts)):
+            lo, hi = int(offsets[row]), int(offsets[row + 1])
+            n = min(hi - lo, k)
+            idx[row, :n] = indices[lo : lo + n]
+            w[row, :n] = weights[lo : lo + n]
+        return self._project_sparse(jnp.asarray(idx), jnp.asarray(w))[: len(texts)]
 
     def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
         return np.asarray(self.encode_dev(texts, pad_to))
