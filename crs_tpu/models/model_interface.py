@@ -130,8 +130,8 @@ class JaxModel(ModelInterface):
             self.params = init_params(jax.random.PRNGKey(self.seed), self.cfg)
             self.tokenizer = ByteTokenizer()
             logger.info("JaxModel: random init (%s, seed=%d)", self.config_name, self.seed)
-        if self.quantization in ("int8", "int4"):
-            bits = 8 if self.quantization == "int8" else 4
+        if self.quantization in ("int8", "int4", "int3", "int2"):
+            bits = int(self.quantization[3:])
             self.params = quantize_params(self.params, bits=bits, group_size=self.group_size)
         elif self.quantization not in (None, "", "none", "bf16", "fp16"):
             raise ValueError(f"unknown quantization: {self.quantization}")
@@ -372,6 +372,8 @@ _MODEL_TYPES = {
     "hf": None,
     "int8": "int8",
     "int4": "int4",
+    "int3": "int3",  # reference HQQ nbits=3 equivalent
+    "int2": "int2",  # reference HQQ nbits=2 equivalent
     "gptq": "int4",  # reference aliases → our weight-only int4 equivalent
     "awq": "int4",
     "hqq": "int4",

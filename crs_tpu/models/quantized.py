@@ -68,7 +68,9 @@ class QuantizedTensor:
         kin, kout = self.shape
         if self.bits == 8:
             return self.codes.astype(jnp.float32) * self.scales[None, :]
-        vals = self.unpack_codes().astype(jnp.float32)
+        vals = (
+            self.unpack_codes() if self.bits == 4 else self.codes
+        ).astype(jnp.float32)
         g = self.scales.shape[0]
         grouped = vals.reshape(g, kin // g, kout)
         return (grouped * self.scales[:, None, :]).reshape(kin, kout)
@@ -108,6 +110,21 @@ def quantize_tensor(w, bits: int = 8, group_size: int = 128) -> QuantizedTensor:
         packed = (lo.astype(np.int16) | hi).astype(np.int8)
         return QuantizedTensor(
             jnp.asarray(packed), jnp.asarray(scales.astype(np.float32)), 4, group_size, (kin, kout)
+        )
+    if bits in (2, 3):
+        # extreme low-bit group-wise symmetric (reference HQQ nbits ∈ {2,3},
+        # models/hqq_model.py:104-110); stored unpacked in int8
+        if kin % group_size != 0:
+            group_size = kin
+        g = kin // group_size
+        qmax = (1 << (bits - 1)) - 1  # 1 for 2-bit, 3 for 3-bit
+        grouped = w.reshape(g, group_size, kout)
+        amax = np.max(np.abs(grouped), axis=1)
+        scales = np.maximum(amax, 1e-12) / qmax
+        vals = np.clip(np.round(grouped / scales[:, None, :]), -qmax, qmax).astype(np.int8)
+        return QuantizedTensor(
+            jnp.asarray(vals.reshape(kin, kout)),
+            jnp.asarray(scales.astype(np.float32)), bits, group_size, (kin, kout),
         )
     raise ValueError(f"unsupported bits: {bits}")
 
