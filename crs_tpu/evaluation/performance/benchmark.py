@@ -98,8 +98,13 @@ class PerformanceBenchmark(ModelBenchmark[PerformanceResults]):
             if task is None:
                 out[name] = {"metric": "acc", "score": None, "skipped": "no local data"}
                 continue
+            cfg = self.tasks_cfg.get(name, {})
+            fewshot = int(cfg.get("num_fewshot", TASK_REGISTRY[name].get("num_fewshot", 0))) \
+                if isinstance(cfg, dict) else 0
             try:
-                out[name] = task.evaluate(self.model, limit=self.task_limit)
+                out[name] = task.evaluate(
+                    self.model, limit=self.task_limit, num_fewshot=fewshot
+                )
             except Exception as e:  # pragma: no cover
                 logger.warning("task %s failed: %s", name, e)
                 out[name] = {"metric": "acc", "score": None, "error": str(e)}

@@ -97,14 +97,26 @@ class MultipleChoiceTask:
             items = json.load(f)
         return cls(name, items, metric)
 
-    def evaluate(self, model, limit: Optional[int] = None) -> Dict[str, Any]:
+    def evaluate(
+        self, model, limit: Optional[int] = None, num_fewshot: int = 0
+    ) -> Dict[str, Any]:
         items = self.items[: int(limit)] if limit else self.items
         if not items:
             return {"task": self.name, "metric": self.metric, "score": None, "num_items": 0}
+        # few-shot prefix from held-out trailing items (lm-eval convention:
+        # exemplars show the correct answer)
+        prefix = ""
+        if num_fewshot > 0:
+            pool = [it for it in self.items if it not in items][:num_fewshot]
+            if len(pool) < num_fewshot:
+                pool = self.items[-num_fewshot:]
+            prefix = "\n\n".join(
+                f"{ex['query']} {ex['choices'][int(ex['gold'])]}" for ex in pool
+            ) + "\n\n"
         # batched scoring when the model supports it (one device call per
         # length bucket vs one per choice)
         pairs = [
-            (item["query"], " " + c.lstrip())
+            (prefix + item["query"], " " + c.lstrip())
             for item in items for c in item["choices"]
         ]
         if hasattr(model, "get_loglikelihood_batch"):

@@ -220,3 +220,24 @@ def test_multiple_choice_task_eval():
     out = MultipleChoiceTask("t", items).evaluate(_ScriptedLL())
     assert out["acc"] == 1.0
     assert out["num_items"] == 2
+
+
+def test_multiple_choice_fewshot_prefix():
+    from crs_tpu.evaluation.performance.tasks import MultipleChoiceTask
+
+    class _Capture:
+        def __init__(self):
+            self.contexts = []
+
+        def get_loglikelihood_batch(self, pairs):
+            self.contexts = [q for q, _ in pairs]
+            return [0.0] * len(pairs)
+
+    items = [
+        {"query": f"Q{i}?", "choices": ["good", "bad"], "gold": 0} for i in range(4)
+    ]
+    model = _Capture()
+    MultipleChoiceTask("t", items).evaluate(model, limit=2, num_fewshot=2)
+    # evaluated queries carry a 2-exemplar prefix drawn from held-out items
+    assert model.contexts[0].startswith("Q2? good\n\nQ3? good\n\n")
+    assert model.contexts[0].endswith("Q0?")
