@@ -15,12 +15,24 @@ from typing import Any, Dict, Sequence
 __all__ = ["RetrievalMetrics"]
 
 
+def _dedupe(seq: Sequence[str]) -> list:
+    """Order-preserving dedup — a duplicated id must not count twice
+    (hypothesis-found: duplicates pushed recall/AP above 1.0)."""
+    seen = set()
+    out = []
+    for s in seq:
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
 class RetrievalMetrics:
     @staticmethod
     def precision_at_k(retrieved: Sequence[str], relevant: Sequence[str], k: int) -> float:
         if k <= 0:
             return 0.0
-        top = list(retrieved)[:k]
+        top = _dedupe(retrieved)[:k]
         if not top:
             return 0.0
         rel = set(relevant)
@@ -31,7 +43,7 @@ class RetrievalMetrics:
         rel = set(relevant)
         if not rel:
             return 0.0
-        top = list(retrieved)[:k]
+        top = _dedupe(retrieved)[:k]
         return sum(1 for r in top if r in rel) / len(rel)
 
     @classmethod
@@ -43,7 +55,7 @@ class RetrievalMetrics:
     @staticmethod
     def mrr(retrieved: Sequence[str], relevant: Sequence[str]) -> float:
         rel = set(relevant)
-        for i, r in enumerate(retrieved, start=1):
+        for i, r in enumerate(_dedupe(retrieved), start=1):
             if r in rel:
                 return 1.0 / i
         return 0.0
@@ -54,7 +66,7 @@ class RetrievalMetrics:
         if not rel:
             return 0.0
         hits, total = 0, 0.0
-        for i, r in enumerate(retrieved, start=1):
+        for i, r in enumerate(_dedupe(retrieved), start=1):
             if r in rel:
                 hits += 1
                 total += hits / i
@@ -71,7 +83,7 @@ class RetrievalMetrics:
             return (2.0**rel - 1.0) if gain == "exponential" else rel
 
         dcg = 0.0
-        for i, r in enumerate(list(retrieved)[:k], start=1):
+        for i, r in enumerate(_dedupe(retrieved)[:k], start=1):
             dcg += g(relevance_scores.get(r, 0.0)) / math.log2(i + 1)
         ideal = sorted(relevance_scores.values(), reverse=True)[:k]
         idcg = sum(g(rel) / math.log2(i + 1) for i, rel in enumerate(ideal, start=1))

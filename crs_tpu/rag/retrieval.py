@@ -105,7 +105,9 @@ class ContextRetriever:
         if f == 0:
             return [[] for _ in queries]
 
-        valid = (rows >= 0) & (scores >= self.similarity_threshold)
+        valid = (
+            (rows >= 0) & (rows < self.store.n) & (scores >= self.similarity_threshold)
+        )
 
         # hybrid rerank (reference :190-217) — host-side numpy, cached tokens
         ranked = scores.copy()
@@ -158,7 +160,7 @@ class ContextRetriever:
             if not q_tokens:
                 continue
             for ci, r in enumerate(rows[qi]):
-                if r >= 0:
+                if 0 <= r < len(self._doc_tokens):
                     out[qi, ci] = len(q_tokens & self._doc_tokens[r]) / len(q_tokens)
         return out
 
