@@ -223,6 +223,88 @@ def _scan_kernel_segmax_int8(
         segmax = jnp.where(hit, NEG_INF, segmax)
 
 
+def _scan_kernel_pq_adc(
+    valid_ref, lut_ref, codes_ref, out_s_ref, out_i_ref, *, kb: int, block_size: int, num_clusters: int
+):
+    """PQ ADC scan: scores[b, n] = Σ_m LUT[b, m, codes[n, m]].
+
+    The per-element LUT gather is expressed as a one-hot matmul per subspace
+    — (codes==k) one-hot [BS, K] times LUT_m [QB, K] on the MXU — which is
+    the TPU-idiomatic form of the ADC table lookup (no lane-crossing gather).
+    """
+    ic = pl.program_id(1)
+    qb = lut_ref.shape[0]
+    m_sub = lut_ref.shape[1]
+    cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (block_size, num_clusters), 1)
+    scores = jnp.zeros((qb, block_size), jnp.float32)
+    for m in range(m_sub):
+        onehot = (codes_ref[:, m][:, None] == cluster_ids).astype(jnp.bfloat16)  # [BS, K]
+        lut_m = lut_ref[:, m, :].astype(jnp.bfloat16)  # [QB, K]
+        scores = scores + jax.lax.dot_general(
+            lut_m, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [QB, BS]
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1) + ic * block_size
+    scores = jnp.where(col < valid_ref[0, 0], scores, NEG_INF)
+    _extract_block_topk(scores, col, kb, out_s_ref, out_i_ref)
+
+
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block"))
+def pallas_topk_pq_adc(
+    codebook_centroids: jax.Array,  # [M, K, Dsub] f32
+    codes: jax.Array,  # [N, M] int32
+    queries: jax.Array,  # [B, D] f32
+    k: int,
+    valid_n: jax.Array | int,
+    block_size: int = 2048,
+    query_block: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused PQ ADC scan (the BASELINE.json north-star kernel): per-query
+    subspace LUTs on the MXU, blockwise score accumulation via one-hot
+    matmuls, on-chip per-block top-k. Reads M bytes/vector instead of D —
+    the bandwidth-optimal scan for compressed corpora. Approximate scores;
+    pair with exact rescore (see VectorStore pq path)."""
+    n, m_sub = codes.shape
+    num_clusters = codebook_centroids.shape[1]
+    b_real = queries.shape[0]
+    d = queries.shape[1]
+    dsub = d // m_sub
+    kb = min(k, 16)
+    qb = min(query_block, _round_up(b_real, 8))
+    # per-query LUT [B, M, K] — one einsum on the MXU
+    q_sub = queries.reshape(b_real, m_sub, dsub)
+    lut = jnp.einsum(
+        "bmd,mkd->bmk", q_sub, codebook_centroids, preferred_element_type=jnp.float32
+    )
+    lut = _pad_rows(lut, qb)
+    bp = lut.shape[0]
+    nq = bp // qb
+    codes_p = _pad_rows(codes.astype(jnp.int32), block_size)
+    nblocks = codes_p.shape[0] // block_size
+    valid = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
+
+    out_s, out_i = pl.pallas_call(
+        partial(_scan_kernel_pq_adc, kb=kb, block_size=block_size, num_clusters=num_clusters),
+        grid=(nq, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda iq, ic: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic: (iq, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, m_sub), lambda iq, ic: (ic, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.float32),
+            jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(valid, lut, codes_p)
+    return _finalize(out_s, out_i, b_real, k)
+
+
 @partial(jax.jit, static_argnames=("k", "block_size", "query_block"))
 def pallas_topk_segmax(
     vectors: jax.Array,  # [N, D] fp32/bf16

@@ -127,3 +127,50 @@ def test_segmax_int8_padding_masked():
     codes, scales = scalar_quantize(jnp.asarray(vectors))
     s, i = pallas_topk_segmax_int8(codes, scales, jnp.asarray(queries), 8, 3000, block_size=512)
     assert np.asarray(i).max() < 3000
+
+
+def test_pq_adc_kernel_matches_xla():
+    """Pallas PQ ADC (one-hot matmul LUT lookup) vs the XLA gather ADC."""
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pallas_scan import pallas_topk_pq_adc
+    from crs_tpu.ops.pq import pq_adc_topk, pq_encode, train_pq
+
+    rng = np.random.default_rng(7)
+    centers = _normalized(rng, 20, 64)
+    vectors = np.concatenate([
+        c + 0.15 * rng.standard_normal((200, 64)).astype(np.float32) for c in centers
+    ])
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    queries = _normalized(rng, 6, 64)
+    cb = train_pq(jax.random.PRNGKey(0), jnp.asarray(vectors), num_subspaces=8, num_clusters=64)
+    codes = pq_encode(cb, jnp.asarray(vectors))
+    s_ref, i_ref = pq_adc_topk(cb, codes, jnp.asarray(queries), 10, len(vectors))
+    s_p, i_p = pallas_topk_pq_adc(
+        cb.centroids, codes, jnp.asarray(queries), 10, len(vectors),
+        block_size=512, query_block=8,
+    )
+    agree = np.mean([
+        len(set(np.asarray(i_p)[b]) & set(np.asarray(i_ref)[b])) / 10 for b in range(6)
+    ])
+    assert agree >= 0.9, agree  # bf16 LUT rounding may flip near-ties
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s_p), axis=1), np.sort(np.asarray(s_ref), axis=1), atol=5e-3
+    )
+
+
+def test_pq_adc_kernel_padding_masked():
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pallas_scan import pallas_topk_pq_adc
+    from crs_tpu.ops.pq import pq_encode, train_pq
+
+    rng = np.random.default_rng(2)
+    vectors = _normalized(rng, 700, 64)
+    queries = _normalized(rng, 3, 64)
+    cb = train_pq(jax.random.PRNGKey(0), jnp.asarray(vectors), num_subspaces=8, num_clusters=64)
+    codes = pq_encode(cb, jnp.asarray(vectors))
+    s, i = pallas_topk_pq_adc(cb.centroids, codes, jnp.asarray(queries), 8, 700, block_size=512, query_block=8)
+    assert np.asarray(i).max() < 700
