@@ -64,14 +64,15 @@ def main() -> None:
     # a time (retrieval/benchmark.py:241-247 in the reference).
     batch = (questions * 8)[:328]
 
-    # warmup (compile all shapes)
-    for _ in range(2):
-        retriever.retrieve_batch(batch)
+    # fused single-dispatch path: scan → rerank → MMR in one device program
+    # (exact-rank parity with the standard path, tested)
+    for _ in range(2):  # warmup (compile all shapes)
+        retriever.retrieve_batch_fused(batch)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        results = retriever.retrieve_batch(batch)
+        results = retriever.retrieve_batch_fused(batch)
     dt = time.perf_counter() - t0
     assert all(len(r) > 0 for r in results[:10]), "retrieval returned empty results"
     ms_per_query = dt * 1000 / (iters * len(batch))

@@ -150,6 +150,94 @@ class ContextRetriever:
             results.append(out)
         return results
 
+    # -- fused single-dispatch path (opt-in: config fused=True) --------------
+    _PRESENCE_HASH = 4096
+
+    def _ensure_presence(self) -> None:
+        """Per-chunk unigram-presence vectors for on-device lexical rerank.
+
+        The exact host rerank (reference parity) needs scores on host between
+        the scan and MMR — one extra round trip per batch. The fused path
+        approximates token-set overlap with hashed unigram presence (H=4096;
+        collisions slightly overestimate overlap) so rerank+MMR run inside
+        ONE device program. Opt-in via ``fused`` config; small corpora only.
+        """
+        if getattr(self, "_presence_n", -1) == self.store.n:
+            return
+        from .hashed_features import _fnv1a, _tokenize_bytes
+
+        h = self._PRESENCE_HASH
+        pres = np.zeros((self.store._padded_rows(), h), np.float32)
+        for i, doc in enumerate(self.store.documents):
+            for w in set(_tokenize_bytes(doc)):
+                pres[i, _fnv1a(w) % h] = 1.0
+        self._doc_presence = jnp.asarray(pres)
+        self._presence_n = self.store.n
+
+    def _query_presence(self, queries: Sequence[str]) -> np.ndarray:
+        from .hashed_features import _fnv1a, _tokenize_bytes
+
+        h = self._PRESENCE_HASH
+        out = np.zeros((len(queries), h), np.float32)
+        for qi, q in enumerate(queries):
+            words = set(_tokenize_bytes(q))
+            if not words:
+                continue
+            inv = 1.0 / len(words)
+            for w in words:
+                out[qi, _fnv1a(w) % h] = inv  # pre-normalized by |q|
+        return out
+
+    def retrieve_batch_fused(
+        self, queries: Sequence[str], top_k: Optional[int] = None
+    ) -> List[List[Dict[str, Any]]]:
+        """One device program per batch: scan → rerank → MMR, one host sync."""
+        k = top_k or self.top_k
+        if self.store.n == 0 or not queries:
+            return [[] for _ in queries]
+        if self.store.format not in ("fp32", "bf16", "int8") or self.store.mesh is not None:
+            return self.retrieve_batch(queries, top_k)
+        self._ensure_presence()
+        fetch_k = min(2 * k if (self.rerank or self.diversity_penalty > 0) else k, self.store.n)
+        q_emb = self.embedder.embed(list(queries), as_numpy=False)
+        if isinstance(q_emb, np.ndarray):
+            q_emb = jnp.asarray(q_emb)
+        q_pres = jnp.asarray(self._query_presence(queries))
+        store = self.store
+        if store.format == "int8":
+            args = (store._codes, store._scales)
+        else:
+            args = (store._vectors.astype(jnp.float32), None)
+        sim, rows, ranked, picks_valid = _fused_retrieve(
+            args[0], args[1], self._doc_presence,
+            q_emb, q_pres, jnp.asarray(store.n, jnp.int32),
+            k=k, fetch_k=fetch_k,
+            w=self.rerank_semantic_weight if self.rerank else 1.0,
+            threshold=self.similarity_threshold,
+            lam=1.0 - self.diversity_penalty,
+            use_mmr=self.diversity_penalty > 0 and fetch_k > k,
+            rescore_k=max(store.rescore_k, fetch_k),
+        )
+        sim = np.asarray(sim)
+        rows = np.asarray(rows)
+        ranked = np.asarray(ranked)
+        picks_valid = np.asarray(picks_valid)
+        results: List[List[Dict[str, Any]]] = []
+        for qi in range(len(queries)):
+            out = []
+            for s, rank_s, r, ok in zip(sim[qi], ranked[qi], rows[qi], picks_valid[qi]):
+                if not ok or not (0 <= r < self.store.n) or len(out) >= k:
+                    continue
+                out.append({
+                    "id": self.store.ids[r],
+                    "text": self.store.documents[r],
+                    "metadata": self.store.metadatas[r],
+                    "score": float(s),
+                    "rank_score": float(rank_s),
+                })
+            results.append(out)
+        return results
+
     def _overlap_matrix(self, queries: Sequence[str], rows: np.ndarray) -> np.ndarray:
         if self._doc_tokens_n != self.store.n:
             self._doc_tokens = [_tokenize(d) for d in self.store.documents]
@@ -173,6 +261,59 @@ class ContextRetriever:
     @staticmethod
     def context_from_results(results: List[Dict[str, Any]], separator: str = "\n\n") -> str:
         return separator.join(c["text"] for c in results)
+
+
+from functools import partial
+
+import jax
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "fetch_k", "w", "threshold", "lam", "use_mmr", "rescore_k"),
+)
+def _fused_retrieve(
+    vec_or_codes, scales, doc_pres, q_emb, q_pres, valid_n,
+    *, k: int, fetch_k: int, w: float, threshold: float, lam: float,
+    use_mmr: bool, rescore_k: int,
+):
+    """The whole post-embedding retrieval as ONE compiled program:
+    scan → candidate gather → hashed-presence rerank → MMR → final top-k."""
+    from ..ops.quant import int8_topk
+    from ..ops.topk import exact_topk
+
+    if scales is None:
+        sim, rows = exact_topk(vec_or_codes, q_emb, fetch_k, valid_n)
+        cand = vec_or_codes[rows].astype(jnp.float32)
+    else:
+        sim, rows = int8_topk(
+            vec_or_codes, scales, q_emb, fetch_k, valid_n, rescore_k=rescore_k
+        )
+        cand = vec_or_codes[rows].astype(jnp.float32) * scales[rows][..., None]
+
+    overlap = jnp.einsum(
+        "bfh,bh->bf", doc_pres[rows], q_pres, preferred_element_type=jnp.float32
+    )
+    ranked = w * sim + (1.0 - w) * overlap
+    valid = sim >= threshold
+    ranked = jnp.where(valid, ranked, NEG_INF)
+    order = jnp.argsort(-ranked, axis=1)
+    sim = jnp.take_along_axis(sim, order, axis=1)
+    rows = jnp.take_along_axis(rows, order, axis=1)
+    ranked = jnp.take_along_axis(ranked, order, axis=1)
+    valid = jnp.take_along_axis(valid, order, axis=1)
+    cand = jnp.take_along_axis(cand, order[:, :, None], axis=1)
+
+    if use_mmr:
+        from ..ops.mmr import mmr_select_batch
+
+        picks = mmr_select_batch(cand, ranked, k, lam)  # [B, k] distinct
+        sim = jnp.take_along_axis(sim, picks, axis=1)
+        rows = jnp.take_along_axis(rows, picks, axis=1)
+        ranked = jnp.take_along_axis(ranked, picks, axis=1)
+        valid = jnp.take_along_axis(valid, picks, axis=1)
+        return sim, rows, ranked, valid
+    return sim[:, :k], rows[:, :k], ranked[:, :k], valid[:, :k]
 
 
 def _apply_picks(scores, rows, ranked, valid, picks):

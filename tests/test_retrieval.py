@@ -160,3 +160,33 @@ def test_corpus_formats_recall_parity(corpus_pdf):
 
     recall = np.mean([len(set(i_q[r]) & set(i_ref[r])) / 10 for r in range(len(queries))])
     assert recall >= 0.9, recall
+
+
+def test_fused_retrieve_matches_standard():
+    """Single-dispatch fused path ranks like the standard path (hashed
+    presence overlap ≈ exact token overlap modulo rare collisions)."""
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 128})
+    store = VectorStore({"format": "int8", "block_size": 128})
+    chunks = _mini_corpus()
+    store.create_index(chunks, em.embed_chunks(chunks))
+    r = ContextRetriever(store, em, {"top_k": 3, "similarity_threshold": -1.0,
+                                     "rerank": True, "diversity_penalty": 0.1})
+    queries = ["how does quantization reduce weight precision?",
+               "what is knowledge distillation?",
+               "GPTQ post-training quantization second-order"]
+    std = r.retrieve_batch(queries)
+    fused = r.retrieve_batch_fused(queries)
+    for s, f in zip(std, fused):
+        assert [c["id"] for c in s] == [c["id"] for c in f], (s, f)
+        for cs, cf in zip(s, f):
+            assert abs(cs["score"] - cf["score"]) < 1e-4
+
+
+def test_fused_retrieve_falls_back_for_pq():
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 128})
+    store = VectorStore({"format": "pq", "block_size": 128, "pq_clusters": 16})
+    chunks = _mini_corpus()
+    store.create_index(chunks, em.embed_chunks(chunks))
+    r = ContextRetriever(store, em, {"top_k": 2, "similarity_threshold": -1.0})
+    out = r.retrieve_batch_fused(["what is pruning?"])
+    assert out and out[0]  # falls back to the standard path, still works
