@@ -72,6 +72,10 @@ class ContextRetriever:
         self.rerank = bool(config.get("rerank", True))
         self.diversity_penalty = float(config.get("diversity_penalty", 0.1))
         self.rerank_semantic_weight = float(config.get("rerank_semantic_weight", 0.7))
+        # fused=True: route batches through the single-dispatch device
+        # program (hashed-presence rerank; no `where` support) — the
+        # serving-latency configuration
+        self.fused = bool(config.get("fused", False))
         self._doc_tokens: Optional[List[set]] = None
         self._doc_tokens_n = -1
 
@@ -83,6 +87,8 @@ class ContextRetriever:
     def retrieve_batch(
         self, queries: Sequence[str], top_k: Optional[int] = None
     ) -> List[List[Dict[str, Any]]]:
+        if self.fused:
+            return self.retrieve_batch_fused(queries, top_k)
         k = top_k or self.top_k
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
@@ -196,7 +202,11 @@ class ContextRetriever:
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
         if self.store.format not in ("fp32", "bf16", "int8") or self.store.mesh is not None:
-            return self.retrieve_batch(queries, top_k)
+            fused_flag, self.fused = self.fused, False  # avoid recursion
+            try:
+                return self.retrieve_batch(queries, top_k)
+            finally:
+                self.fused = fused_flag
         self._ensure_presence()
         fetch_k = min(2 * k if (self.rerank or self.diversity_penalty > 0) else k, self.store.n)
         q_emb = self.embedder.embed(list(queries), as_numpy=False)
