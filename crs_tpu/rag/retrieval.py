@@ -201,7 +201,15 @@ class ContextRetriever:
         k = top_k or self.top_k
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
-        if self.store.format not in ("fp32", "bf16", "int8") or self.store.mesh is not None:
+        # the dense [N, 4096] presence matrix caps the fused path at ~32k
+        # chunks (512MB); larger corpora use the standard path (sparse
+        # presence is the round-2 follow-up, see STATUS.md)
+        unsupported = (
+            self.store.format not in ("fp32", "bf16", "int8")
+            or self.store.mesh is not None
+            or (self.rerank and self.store.n > 32768)
+        )
+        if unsupported:
             fused_flag, self.fused = self.fused, False  # avoid recursion
             try:
                 return self.retrieve_batch(queries, top_k)
