@@ -158,33 +158,37 @@ class ContextRetriever:
 
     # -- fused single-dispatch path (opt-in: config fused=True) --------------
     _PRESENCE_HASH = 4096
+    _PRESENCE_TOKENS = 128  # hashed unigram ids kept per chunk
 
     def _ensure_presence(self) -> None:
-        """Per-chunk unigram-presence vectors for on-device lexical rerank.
+        """Per-chunk hashed unigram-token ids for on-device lexical rerank.
 
         The exact host rerank (reference parity) needs scores on host between
         the scan and MMR — one extra round trip per batch. The fused path
-        approximates token-set overlap with hashed unigram presence (H=4096;
+        approximates token-set overlap with hashed unigrams (H=4096 buckets;
         collisions slightly overestimate overlap) so rerank+MMR run inside
-        ONE device program. Opt-in via ``fused`` config; small corpora only.
+        ONE device program. Stored as up-to-128 token ids per chunk
+        ([N, 128] int32, ~0.5 KB/chunk — scales to 1M+ chunks) rather than a
+        dense presence matrix; unused slots hold the sentinel H (reads a
+        zero slot of the padded query-presence row).
         """
         if getattr(self, "_presence_n", -1) == self.store.n:
             return
         from .hashed_features import _fnv1a, _tokenize_bytes
 
-        h = self._PRESENCE_HASH
-        pres = np.zeros((self.store._padded_rows(), h), np.float32)
+        h, t = self._PRESENCE_HASH, self._PRESENCE_TOKENS
+        toks = np.full((self.store._padded_rows(), t), h, np.int32)  # sentinel
         for i, doc in enumerate(self.store.documents):
-            for w in set(_tokenize_bytes(doc)):
-                pres[i, _fnv1a(w) % h] = 1.0
-        self._doc_presence = jnp.asarray(pres)
+            ids = sorted({_fnv1a(w) % h for w in set(_tokenize_bytes(doc))})[:t]
+            toks[i, : len(ids)] = ids
+        self._doc_token_ids = jnp.asarray(toks)
         self._presence_n = self.store.n
 
     def _query_presence(self, queries: Sequence[str]) -> np.ndarray:
         from .hashed_features import _fnv1a, _tokenize_bytes
 
         h = self._PRESENCE_HASH
-        out = np.zeros((len(queries), h), np.float32)
+        out = np.zeros((len(queries), h + 1), np.float32)  # slot h = sentinel
         for qi, q in enumerate(queries):
             words = set(_tokenize_bytes(q))
             if not words:
@@ -201,13 +205,9 @@ class ContextRetriever:
         k = top_k or self.top_k
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
-        # the dense [N, 4096] presence matrix caps the fused path at ~32k
-        # chunks (512MB); larger corpora use the standard path (sparse
-        # presence is the round-2 follow-up, see STATUS.md)
         unsupported = (
             self.store.format not in ("fp32", "bf16", "int8")
             or self.store.mesh is not None
-            or (self.rerank and self.store.n > 32768)
         )
         if unsupported:
             fused_flag, self.fused = self.fused, False  # avoid recursion
@@ -227,7 +227,7 @@ class ContextRetriever:
         else:
             args = (store._vectors.astype(jnp.float32), None)
         sim, rows, ranked, picks_valid = _fused_retrieve(
-            args[0], args[1], self._doc_presence,
+            args[0], args[1], self._doc_token_ids,
             q_emb, q_pres, jnp.asarray(store.n, jnp.int32),
             k=k, fetch_k=fetch_k,
             w=self.rerank_semantic_weight if self.rerank else 1.0,
@@ -291,7 +291,7 @@ import jax
     static_argnames=("k", "fetch_k", "w", "threshold", "lam", "use_mmr", "rescore_k"),
 )
 def _fused_retrieve(
-    vec_or_codes, scales, doc_pres, q_emb, q_pres, valid_n,
+    vec_or_codes, scales, doc_token_ids, q_emb, q_pres, valid_n,
     *, k: int, fetch_k: int, w: float, threshold: float, lam: float,
     use_mmr: bool, rescore_k: int,
 ):
@@ -309,9 +309,12 @@ def _fused_retrieve(
         )
         cand = vec_or_codes[rows].astype(jnp.float32) * scales[rows][..., None]
 
-    overlap = jnp.einsum(
-        "bfh,bh->bf", doc_pres[rows], q_pres, preferred_element_type=jnp.float32
-    )
+    # overlap(q, d) = Σ_t q_pres[b, token_t(d)] — candidate token ids gather
+    # into the (|q|-normalized) query presence row; sentinel ids hit the
+    # zero-padded slot. [B, F, T] gather instead of a dense [N, H] matrix.
+    cand_tokens = doc_token_ids[rows]  # [B, F, T] int32
+    b_idx = jnp.arange(q_pres.shape[0])[:, None, None]
+    overlap = jnp.sum(q_pres[b_idx, cand_tokens], axis=-1)  # [B, F]
     ranked = w * sim + (1.0 - w) * overlap
     valid = sim >= threshold
     ranked = jnp.where(valid, ranked, NEG_INF)
