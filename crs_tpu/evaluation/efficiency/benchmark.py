@@ -79,6 +79,9 @@ class EfficiencyBenchmark(ModelBenchmark[EfficiencyResults]):
 
         # energy
         stage("energy", lambda: energy.estimate_energy_per_token(m.get("latency_ms_per_token")))
+        stage("total_energy", lambda: energy.estimate_total_energy(
+            m.get("energy_per_token_mj"),
+            num_tokens=self.num_runs * self.max_new_tokens))
 
         # optional jax.profiler trace of one generate call (SURVEY §5)
         if self.config.get("capture_profile"):

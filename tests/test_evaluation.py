@@ -241,3 +241,21 @@ def test_multiple_choice_fewshot_prefix():
     # evaluated queries carry a 2-exemplar prefix drawn from held-out items
     assert model.contexts[0].startswith("Q2? good\n\nQ3? good\n\n")
     assert model.contexts[0].endswith("Q0?")
+
+
+def test_efficiency_baseline_comparison():
+    """compression/speedup/memory-reduction vs a configured baseline
+    (reference efficiency/benchmark.py comparison fields)."""
+    from crs_tpu.evaluation.efficiency.benchmark import EfficiencyBenchmark
+    from crs_tpu.models.model_interface import create_model_interface
+
+    m = create_model_interface("int8", {"config": "tiny"})
+    m.load()
+    bench = EfficiencyBenchmark(m, {
+        "num_warmup": 1, "num_runs": 1, "max_new_tokens": 4, "batch_sizes": (1,),
+        "baseline": {"model_size_gb": 1.0, "latency_ms_per_token": 1000.0},
+    })
+    res = bench.run_all()
+    assert res.metrics["compression_ratio"] > 1.0  # tiny int8 << 1 GB
+    assert res.metrics["speedup_vs_baseline"] > 1.0
+    assert res.metrics["total_energy_kwh"] >= 0
