@@ -89,3 +89,51 @@ def test_graft_entry_hooks():
     assert out.shape == (2, 32, 512)
     if len(jax.devices()) >= 8:
         g.dryrun_multichip(8)
+
+
+def test_sharded_train_step_matches_single_device(mesh8):
+    """One dp/tp-sharded training step produces (numerically) the same
+    updated params as the unsharded step — the collectives XLA inserts must
+    not change the math."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from crs_tpu.models.sharding import (
+        make_sharded_train_step, shard_batch, shard_params, sharded_loss_fn,
+    )
+    from crs_tpu.models.transformer import CONFIGS, forward, init_params
+
+    cfg = dataclasses.replace(CONFIGS["tiny"], dtype=jnp.float32)
+    params0 = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (8, 12)).astype(np.int32)
+    mask = np.ones((8, 12), bool)
+
+    # single-device reference step
+    tx = optax.sgd(1e-2)
+
+    def loss_local(p):
+        logits = forward(p, cfg, jnp.asarray(ids), jnp.asarray(mask))
+        targets = jnp.asarray(ids)[:, 1:]
+        valid = jnp.asarray(mask)[:, 1:] & jnp.asarray(mask)[:, :-1]
+        losses = optax.softmax_cross_entropy_with_integer_labels(logits[:, :-1, :], targets)
+        return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+    l_ref, grads = jax.value_and_grad(loss_local)(params0)
+    upd, _ = tx.update(grads, tx.init(params0), params0)
+    ref_params = optax.apply_updates(params0, upd)
+
+    # sharded step
+    sharded0 = shard_params(init_params(jax.random.PRNGKey(0), cfg), mesh8)
+    step = make_sharded_train_step(cfg, mesh8, tx)
+    ids_d, mask_d = shard_batch(ids, mask, mesh8)
+    new_params, _, l_sh = step(sharded0, tx.init(sharded0), ids_d, mask_d)
+
+    assert abs(float(l_ref) - float(l_sh)) < 1e-4
+    for ref_leaf, sh_leaf in zip(jax.tree.leaves(ref_params), jax.tree.leaves(new_params)):
+        np.testing.assert_allclose(
+            np.asarray(ref_leaf), np.asarray(sh_leaf), atol=5e-5, rtol=1e-4
+        )
