@@ -104,6 +104,14 @@ class EvaluationRunner:
 
         def run_one(name: str, enabled: bool, factory, needs):
             if not enabled:
+                # keep previously persisted results so partial runs don't
+                # blank the comprehensive summary
+                prior = os.path.join(self.output_dir, f"{name}_results.json")
+                if os.path.exists(prior):
+                    try:
+                        return BenchmarkResult.from_json(prior).metrics
+                    except Exception:
+                        return None
                 return None
             if needs is None:
                 out.errors[name] = f"no {'pipeline' if name == 'retrieval' else 'model'} provided"

@@ -73,10 +73,17 @@ def test_run_all(runner):
     assert "latency_ms_per_token" in summary
 
 
-def test_single_benchmark_entry_points(runner):
+def test_single_benchmark_entry_points(runner, tmp_path):
     res = runner.run_retrieval_only()
     assert res.retrieval is not None
-    assert res.efficiency is None
+    # in a FRESH output dir (no prior results), skipped pillars stay None
+    fresh = EvaluationRunner(
+        model=runner.model, pipeline=runner.pipeline,
+        config=runner.config, output_dir=str(tmp_path),
+    )
+    res2 = fresh.run_retrieval_only()
+    assert res2.retrieval is not None
+    assert res2.efficiency is None
 
 
 def test_runner_without_model_records_error(tmp_path):
@@ -128,3 +135,16 @@ def test_ir_mode(runner):
     assert res.metrics["mode"] == "ir"
     assert res.metrics["recall_at_3"] > 0
     assert "mrr" in res.metrics
+
+
+def test_partial_run_preserves_prior_results(runner):
+    """A partial run (one pillar) must not blank the other pillars'
+    previously persisted metrics in the comprehensive summary."""
+    full = runner.run_all()
+    assert full.efficiency is not None
+    partial = runner.run_retrieval_only()
+    # efficiency metrics were reloaded from disk, not blanked
+    assert partial.efficiency is not None
+    assert partial.efficiency["latency_ms_per_token"] > 0
+    summary = partial.get_summary()
+    assert "latency_ms_per_token" in summary
