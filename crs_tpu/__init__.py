@@ -55,3 +55,23 @@ def _setup_compilation_cache() -> None:
 
 
 _setup_compilation_cache()
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax-heavy modules on
+    bare ``import crs_tpu``)."""
+    lazy = {
+        "RAGPipeline": ("crs_tpu.rag.pipeline", "RAGPipeline"),
+        "VectorStore": ("crs_tpu.rag.index", "VectorStore"),
+        "ContextRetriever": ("crs_tpu.rag.retrieval", "ContextRetriever"),
+        "EmbeddingModel": ("crs_tpu.rag.embedding", "EmbeddingModel"),
+        "create_model_interface": ("crs_tpu.models.model_interface", "create_model_interface"),
+        "EvaluationRunner": ("crs_tpu.evaluation.runner", "EvaluationRunner"),
+        "ConfigLoader": ("crs_tpu.utils.config", "ConfigLoader"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'crs_tpu' has no attribute {name!r}")
