@@ -157,46 +157,50 @@ class ContextRetriever:
         return results
 
     # -- fused single-dispatch path (opt-in: config fused=True) --------------
-    _PRESENCE_HASH = 4096
-    _PRESENCE_TOKENS = 128  # hashed unigram ids kept per chunk
+    _PRESENCE_TOKENS = 128  # token ids kept per chunk
+    _QUERY_TOKENS = 32  # token ids kept per query
+    _TOKEN_SPACE = 1 << 30  # FNV space: collision odds ~1e-6 per doc-query
+
+    @staticmethod
+    def _token_id(word: str) -> int:
+        from .hashed_features import _fnv1a
+
+        return _fnv1a(word.encode("utf-8")) % ContextRetriever._TOKEN_SPACE
 
     def _ensure_presence(self) -> None:
-        """Per-chunk hashed unigram-token ids for on-device lexical rerank.
+        """Per-chunk token ids for on-device lexical rerank.
 
         The exact host rerank (reference parity) needs scores on host between
         the scan and MMR — one extra round trip per batch. The fused path
-        approximates token-set overlap with hashed unigrams (H=4096 buckets;
-        collisions slightly overestimate overlap) so rerank+MMR run inside
-        ONE device program. Stored as up-to-128 token ids per chunk
-        ([N, 128] int32, ~0.5 KB/chunk — scales to 1M+ chunks) rather than a
-        dense presence matrix; unused slots hold the sentinel H (reads a
-        zero slot of the padded query-presence row).
+        instead matches token IDS on device: the SAME regex tokens the host
+        path uses, FNV-hashed into a 2³⁰ space (collisions ~1e-6), stored as
+        up-to-128 ids per chunk ([N, 128] int32, ~0.5 KB/chunk). Overlap is
+        an exact equality count against the query's padded id list — so
+        rerank scores match the standard path bit-for-near (not an
+        approximation), and rerank+MMR run inside ONE device program.
         """
         if getattr(self, "_presence_n", -1) == self.store.n:
             return
-        from .hashed_features import _fnv1a, _tokenize_bytes
-
-        h, t = self._PRESENCE_HASH, self._PRESENCE_TOKENS
-        toks = np.full((self.store._padded_rows(), t), h, np.int32)  # sentinel
+        t = self._PRESENCE_TOKENS
+        toks = np.full((self.store._padded_rows(), t), -1, np.int32)  # sentinel
         for i, doc in enumerate(self.store.documents):
-            ids = sorted({_fnv1a(w) % h for w in set(_tokenize_bytes(doc))})[:t]
+            ids = sorted({self._token_id(w) for w in _tokenize(doc)})[:t]
             toks[i, : len(ids)] = ids
         self._doc_token_ids = jnp.asarray(toks)
         self._presence_n = self.store.n
 
-    def _query_presence(self, queries: Sequence[str]) -> np.ndarray:
-        from .hashed_features import _fnv1a, _tokenize_bytes
-
-        h = self._PRESENCE_HASH
-        out = np.zeros((len(queries), h + 1), np.float32)  # slot h = sentinel
-        for qi, q in enumerate(queries):
-            words = set(_tokenize_bytes(q))
+    def _query_token_ids(self, queries: Sequence[str]):
+        """(ids [B, Q] int32 w/ sentinel -2, inv_count [B] f32)."""
+        q = self._QUERY_TOKENS
+        ids = np.full((len(queries), q), -2, np.int32)
+        inv = np.zeros((len(queries),), np.float32)
+        for qi, query in enumerate(queries):
+            words = sorted({self._token_id(w) for w in _tokenize(query)})
             if not words:
                 continue
-            inv = 1.0 / len(words)
-            for w in words:
-                out[qi, _fnv1a(w) % h] = inv  # pre-normalized by |q|
-        return out
+            ids[qi, : min(len(words), q)] = words[:q]
+            inv[qi] = 1.0 / len(words)
+        return ids, inv
 
     def retrieve_batch_fused(
         self, queries: Sequence[str], top_k: Optional[int] = None
@@ -220,7 +224,8 @@ class ContextRetriever:
         q_emb = self.embedder.embed(list(queries), as_numpy=False)
         if isinstance(q_emb, np.ndarray):
             q_emb = jnp.asarray(q_emb)
-        q_pres = jnp.asarray(self._query_presence(queries))
+        q_tok_np, q_inv_np = self._query_token_ids(queries)
+        q_tok, q_inv = jnp.asarray(q_tok_np), jnp.asarray(q_inv_np)
         store = self.store
         if store.format == "int8":
             args = (store._codes, store._scales)
@@ -228,7 +233,7 @@ class ContextRetriever:
             args = (store._vectors.astype(jnp.float32), None)
         sim, rows, ranked, picks_valid = _fused_retrieve(
             args[0], args[1], self._doc_token_ids,
-            q_emb, q_pres, jnp.asarray(store.n, jnp.int32),
+            q_emb, q_tok, q_inv, jnp.asarray(store.n, jnp.int32),
             k=k, fetch_k=fetch_k,
             w=self.rerank_semantic_weight if self.rerank else 1.0,
             threshold=self.similarity_threshold,
@@ -291,7 +296,7 @@ import jax
     static_argnames=("k", "fetch_k", "w", "threshold", "lam", "use_mmr", "rescore_k"),
 )
 def _fused_retrieve(
-    vec_or_codes, scales, doc_token_ids, q_emb, q_pres, valid_n,
+    vec_or_codes, scales, doc_token_ids, q_emb, q_tok, q_inv, valid_n,
     *, k: int, fetch_k: int, w: float, threshold: float, lam: float,
     use_mmr: bool, rescore_k: int,
 ):
@@ -309,12 +314,12 @@ def _fused_retrieve(
         )
         cand = vec_or_codes[rows].astype(jnp.float32) * scales[rows][..., None]
 
-    # overlap(q, d) = Σ_t q_pres[b, token_t(d)] — candidate token ids gather
-    # into the (|q|-normalized) query presence row; sentinel ids hit the
-    # zero-padded slot. [B, F, T] gather instead of a dense [N, H] matrix.
+    # overlap(q, d) = |tokens(d) ∩ tokens(q)| / |q|: exact equality count of
+    # candidate token ids [B, F, T] against the query's padded id list
+    # [B, Q] (sentinels -1 / -2 never match). Same tokens as the host rerank.
     cand_tokens = doc_token_ids[rows]  # [B, F, T] int32
-    b_idx = jnp.arange(q_pres.shape[0])[:, None, None]
-    overlap = jnp.sum(q_pres[b_idx, cand_tokens], axis=-1)  # [B, F]
+    matches = cand_tokens[:, :, :, None] == q_tok[:, None, None, :]  # [B,F,T,Q]
+    overlap = jnp.sum(matches, axis=(2, 3)).astype(jnp.float32) * q_inv[:, None]
     ranked = w * sim + (1.0 - w) * overlap
     valid = sim >= threshold
     ranked = jnp.where(valid, ranked, NEG_INF)

@@ -76,3 +76,23 @@ def test_retrieval_deterministic(current, golden):
     queries = [g["question"] for g in golden["queries"]]
     again = r.retrieve_batch(queries)
     assert [[c["id"] for c in res] for res in again] == [[c["id"] for c in res] for res in first]
+
+
+def test_fused_matches_standard_on_golden_queries(golden, current):
+    """The fused single-dispatch path must rank the golden queries exactly
+    like the standard (reference-parity) path on the real corpus."""
+    from crs_tpu.rag.embedding import EmbeddingModel
+    from crs_tpu.rag.index import VectorStore
+    from crs_tpu.rag.retrieval import ContextRetriever
+
+    chunks, standard_results = current
+    em = EmbeddingModel({"backend": "hashed", "embedding_dim": 384})
+    store = VectorStore({"format": "fp32", "block_size": 256})
+    store.create_index(chunks, em.embed_chunks(chunks))
+    r = ContextRetriever(store, em, {"top_k": 5, "similarity_threshold": 0.02,
+                                     "rerank": True, "diversity_penalty": 0.1})
+    queries = [g["question"] for g in golden["queries"]]
+    fused = r.retrieve_batch_fused(queries)
+    for s, f in zip(standard_results, fused):
+        # exact token-id matching on device → identical ranking
+        assert [c["id"] for c in s] == [c["id"] for c in f]
