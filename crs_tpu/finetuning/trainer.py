@@ -191,7 +191,17 @@ class QuantizedModelFinetuner:
         # multi_transform (NOT optax.masked alone): masked-out updates pass
         # through unchanged, which would apply raw gradients to the frozen
         # base — frozen leaves must get set_to_zero explicitly.
+        # Zero the frozen grads BEFORE the global-norm clip: value_and_grad
+        # still produces full-precision base-weight gradients, and if they
+        # enter the norm they dominate it and over-clip the adapter updates.
         tx = optax.chain(
+            optax.multi_transform(
+                {
+                    "train": optax.identity(),
+                    "freeze": optax.set_to_zero(),
+                },
+                labels,
+            ),
             optax.clip_by_global_norm(self.grad_clip),
             optax.multi_transform(
                 {

@@ -45,12 +45,24 @@ def _load_state_dict(path: str) -> Optional[Dict[str, np.ndarray]]:
             f for f in os.listdir(path) if f.endswith(".safetensors") and not f.startswith(".")
         )
         if shards:
-            from safetensors.numpy import load_file  # type: ignore
-
+            # Real Llama/Mistral checkpoints are bf16, which
+            # safetensors.numpy cannot decode — go through the torch
+            # framework (upcast bf16→fp32; we re-cast to the target
+            # dtype when building the pytree).
             state: Dict[str, np.ndarray] = {}
-            for s in shards:
-                state.update(load_file(os.path.join(path, s)))
-            return state
+            try:
+                from safetensors.torch import load_file as load_pt  # type: ignore
+
+                for s in shards:
+                    sd = load_pt(os.path.join(path, s))
+                    state.update({k: v.float().numpy() for k, v in sd.items()})
+                return state
+            except ImportError:  # torch-less image: numpy framework (fp16/fp32 only)
+                from safetensors.numpy import load_file  # type: ignore
+
+                for s in shards:
+                    state.update(load_file(os.path.join(path, s)))
+                return state
         bins = sorted(f for f in os.listdir(path) if f.endswith(".bin"))
         if bins:
             import torch  # type: ignore

@@ -109,6 +109,7 @@ class JaxModel(ModelInterface):
         self.tokenizer = None
         self._loaded = False
         self.load_time_s = 0.0
+        self.weights_source = "unloaded"
 
     # -- loading -----------------------------------------------------------
     def load(self) -> None:
@@ -123,7 +124,19 @@ class JaxModel(ModelInterface):
         if loaded is not None:
             self.cfg, self.params = loaded
             self.tokenizer = _load_hf_tokenizer(self.model_path) or ByteTokenizer()
+            self.weights_source = "checkpoint"
         else:
+            if self.model_path:
+                # A checkpoint was requested but could not be loaded —
+                # falling back silently would publish random-weights numbers
+                # under the real model's name.
+                raise RuntimeError(
+                    f"model_path={self.model_path!r} was set but no weights could "
+                    "be loaded (missing/corrupt checkpoint or unsupported dtype); "
+                    "refusing to silently fall back to random init. Unset "
+                    "model_path to benchmark a random-init architecture."
+                )
+            self.weights_source = "random_init"
             if self.config_name not in CONFIGS:
                 raise ValueError(f"unknown model config: {self.config_name}")
             self.cfg = CONFIGS[self.config_name]
@@ -269,6 +282,7 @@ class JaxModel(ModelInterface):
             "bits_per_param": 8.0 * nbytes / max(nparams, 1),
             "device": str(jax.devices()[0]),
             "load_time_s": self.load_time_s,
+            "weights_source": self.weights_source,
         }
 
     def get_lm_eval_model(self):  # pragma: no cover - optional dependency

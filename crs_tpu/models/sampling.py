@@ -56,7 +56,9 @@ def _top_p_filter(logits: jax.Array, top_p: float) -> jax.Array:
     cum = jnp.cumsum(probs, axis=-1)
     # keep the smallest set whose cumulative prob ≥ top_p (include crosser)
     keep = cum - probs < top_p
-    cutoff = jnp.max(jnp.where(keep, sorted_logits, -jnp.inf), axis=-1, keepdims=True)
+    # Cutoff is the SMALLEST kept logit: everything at or above it survives.
+    # (max of kept logits would always equal the global max — greedy collapse.)
+    cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
     return jnp.where(logits < cutoff, -1e30, logits)
 
 

@@ -221,7 +221,7 @@ class VectorStore:
                 _, cand = pallas_topk_int8(
                     self._codes, self._scales, q, cand_k, self.n, self.block_size
                 )
-                s, i = _rescore(self._codes, self._scales, q, cand, k)
+                s, i = _rescore(self._codes, self._scales, q, cand, k, self.n)
             else:
                 s, i = int8_topk(
                     self._codes, self._scales, q, k, self.n,
@@ -236,7 +236,7 @@ class VectorStore:
                 )
             else:
                 _, cand = pq_adc_topk(self._pq_codebook, self._pq_codes, q, cand_k, self.n)
-            s, i = _rescore(self._codes, self._scales, q, cand, k)
+            s, i = _rescore(self._codes, self._scales, q, cand, k, self.n)
         return s, i
 
     def gather_vectors_dev(self, rows: jax.Array) -> jax.Array:
@@ -439,9 +439,15 @@ class VectorStore:
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _rescore(codes, scales, queries, cand_ids, k):
-    """Exact-ish rescore of candidate ids against int8-dequantized vectors."""
+def _rescore(codes, scales, queries, cand_ids, k, valid_n):
+    """Exact-ish rescore of candidate ids against int8-dequantized vectors.
+
+    Candidates at rows >= ``valid_n`` are padding (zero vectors that rescore
+    to exactly 0.0 and would outrank real negatives) — mask them to -inf,
+    mirroring the int8_topk path's padding mask.
+    """
     cand_vecs = codes[cand_ids].astype(jnp.float32) * scales[cand_ids][..., None]
     exact = jnp.einsum("bd,bcd->bc", queries, cand_vecs, preferred_element_type=jnp.float32)
+    exact = jnp.where(cand_ids < valid_n, exact, -1e30)
     s, sel = jax.lax.top_k(exact, min(k, cand_ids.shape[1]))
     return s, jnp.take_along_axis(cand_ids, sel, axis=1).astype(jnp.int32)

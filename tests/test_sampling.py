@@ -26,8 +26,15 @@ def test_top_p_filter_keeps_nucleus():
     # probs after softmax: dominated by first two entries
     logits = jnp.asarray([[10.0, 9.0, 0.0, -5.0]])
     out = np.asarray(_top_p_filter(logits, 0.9))
-    assert np.isfinite(out[0, 0]) and np.isfinite(out[0, 1])
-    assert out[0, 3] < -1e29
+    # survivors keep their original logit; masked entries drop below -1e29
+    # (isfinite is NOT enough: the -1e30 mask value is finite)
+    assert out[0, 0] > -1e29 and out[0, 1] > -1e29
+    assert out[0, 2] < -1e29 and out[0, 3] < -1e29
+    # near-tied head: top_p=0.9 must keep MORE than the argmax
+    tied = jnp.asarray([[2.0, 1.9, 1.8, -5.0]])
+    out2 = np.asarray(_top_p_filter(tied, 0.9))
+    assert (out2[0, :3] > -1e29).all(), "nucleus collapsed to greedy"
+    assert out2[0, 3] < -1e29
     # top_p=1 is a no-op
     np.testing.assert_array_equal(np.asarray(_top_p_filter(logits, 1.0)), np.asarray(logits))
 
@@ -39,7 +46,7 @@ def test_top_p_always_keeps_argmax():
 
     logits = jnp.asarray([[3.0, 1.0, 0.5]])
     out = np.asarray(_top_p_filter(logits, 0.01))  # tiny nucleus
-    assert np.isfinite(out[0, 0])  # the crossing (max) token survives
+    assert out[0, 0] > -1e29  # the crossing (max) token survives
     assert (out[0, 1:] < -1e29).all()
 
 
