@@ -153,20 +153,43 @@ class RAGGenerator:
             a = " ".join(sentences[: self.max_answer_sentences])
         return a.strip()
 
+    # honest fallback responses are never flagged (reference :316-321)
+    _FALLBACK_PHRASES = (
+        "not provided",
+        "not in the context",
+        "cannot answer",
+        "insufficient information",
+        "does not specify",
+    )
+
     def _is_problematic(self, answer: str, context: str) -> bool:
-        """Degenerate-answer checks (reference :303-353)."""
-        words = answer.split()
-        if len(words) < 3:
-            return True
-        # verbatim copy: any 10-gram of the answer appears in the context
-        if context and len(words) >= 10:
-            for i in range(len(words) - 9):
+        """Degenerate-answer checks, thresholds per reference :303-353:
+        honest-fallback allowlist; verbatim 10-gram copy from context;
+        too-short (<15 words); half-repetition via substring containment.
+        """
+        answer_lower = answer.lower()
+        if any(p in answer_lower for p in self._FALLBACK_PHRASES):
+            return False
+        answer_clean = answer_lower.replace(".", "").replace(",", "").strip()
+        context_clean = context.lower().replace(".", "").replace(",", "").strip()
+        words = answer_clean.split()
+        # verbatim copy: any 10-gram of the cleaned answer appears verbatim
+        # in the cleaned context (reference :328-334)
+        if context_clean:
+            for i in range(len(words) - 10):
                 gram = " ".join(words[i : i + 10])
-                if gram in context:
+                if gram in context_clean:
+                    logger.warning("Answer contains long verbatim copy from context")
                     return True
-        # half-repetition: second half equals first half
-        if len(words) >= 8:
+        # too short (<15 words, reference :336-339)
+        if len(words) < 15:
+            return True
+        # self-repetition: one half contained in the other (reference :341-349)
+        if len(words) >= 10:
             half = len(words) // 2
-            if words[:half] == words[half : 2 * half]:
+            first_half = " ".join(words[:half])
+            second_half = " ".join(words[half:])
+            if first_half in second_half or second_half in first_half:
+                logger.warning("Answer contains repetition")
                 return True
         return False

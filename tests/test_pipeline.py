@@ -124,17 +124,35 @@ def test_truncate_context_sentence_boundary():
 
 
 def test_problematic_detection():
+    """The reference's three degenerate classes + the fallback allowlist
+    (reference rag/generation.py:303-353)."""
     g = RAGGenerator(FakeModel([]), {})
     ctx = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
-    assert g._is_problematic("alpha beta gamma delta epsilon zeta eta theta iota kappa extra words", ctx)
+    # class 1: verbatim 10-gram copy from the context
+    assert g._is_problematic(
+        "alpha beta, gamma delta epsilon zeta eta theta iota kappa plus some extra trailing words", ctx
+    )
+    # class 2: too short (<15 words, reference threshold)
     assert g._is_problematic("too short", ctx)
-    assert g._is_problematic("a b c d a b c d", ctx)  # half repetition
-    assert not g._is_problematic("a genuinely novel answer with enough words in it", ctx)
+    assert g._is_problematic("this answer has exactly fourteen words which is one too few for the check", ctx)
+    # class 3: self-repetition (halves contained in each other)
+    assert g._is_problematic(
+        "one two three four five six seven eight one two three four five six seven eight", ctx
+    )
+    # honest fallbacks are fine even when short
+    assert not g._is_problematic("The context does not specify this.", ctx)
+    assert not g._is_problematic("I cannot answer from the given context.", ctx)
+    # a genuinely novel long answer passes
+    good = ("compression methods trade accuracy for memory and the survey groups "
+            "them into pruning quantization distillation and low rank factorization families")
+    assert not g._is_problematic(good, ctx)
 
 
 def test_retry_on_degenerate():
-    fake = FakeModel(["xx", "a proper answer with plenty of words here"])
+    good = ("a proper answer that contains well over fifteen distinct words so the "
+            "degenerate answer detector accepts it without any complaint at all")
+    fake = FakeModel(["xx", good])
     g = RAGGenerator(fake, {})
     out = g.generate("question?", "some context")
-    assert out == "a proper answer with plenty of words here"
+    assert out == good
     assert fake.calls == 2
