@@ -75,15 +75,15 @@ class PerformanceBenchmark(ModelBenchmark[PerformanceResults]):
         # harness path (gated)
         if harness_tasks:
             try:
-                from .lm_eval_adapter import get_metric_from_results, run_lm_eval_harness
+                from .lm_eval_adapter import run_lm_eval_harness
 
-                results = run_lm_eval_harness(self.model, harness_tasks, limit=self.task_limit)
+                # per-task config blocks flow through (enabled/num_fewshot/
+                # limit/batch_size, reference lm_eval_wrapper.py:172-188)
+                harness_cfg = {n: self.tasks_cfg.get(n, True) for n in harness_tasks}
+                results = run_lm_eval_harness(self.model, harness_cfg, limit=self.task_limit)
                 for name in harness_tasks:
                     metric = TASK_REGISTRY[name]["metric"]
-                    out[name] = {
-                        "metric": metric,
-                        "score": get_metric_from_results(results, name, metric),
-                    }
+                    out[name] = {"metric": metric, "score": results.get(name)}
             except Exception as e:
                 logger.warning("lm-eval harness unavailable (%s); %d tasks skipped",
                                e, len(harness_tasks))

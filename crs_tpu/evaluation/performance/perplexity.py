@@ -110,7 +110,7 @@ class PerplexityEvaluator:
         if hasattr(self.model, "params") and hasattr(self.model, "cfg"):
             from ...models.model_interface import _sequence_logprob
 
-            lp = _sequence_logprob(
+            lp, _ = _sequence_logprob(
                 self.model.params, self.model.cfg, jnp.asarray(arr),
                 jnp.asarray(mask), jnp.asarray(max(score_from, 1), jnp.int32),
             )

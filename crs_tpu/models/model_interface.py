@@ -39,11 +39,13 @@ from .transformer import CONFIGS, TransformerConfig, forward, init_params
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _sequence_logprob(params, cfg, ids, mask, start):
-    """Per-row sum of log p(token|prefix) for positions ≥ start[b] — ON device.
+    """Per-row (sum log p(token|prefix), greedy?) for positions ≥ start[b] — ON device.
 
     Transferring full [B, S, V] logits to score continuations costs tens of
-    MB per call over the axon tunnel; this returns one scalar per row.
-    ``start`` may be a scalar or a [B] vector of per-row offsets.
+    MB per call over the axon tunnel; this returns two scalars per row:
+    the continuation log-likelihood and whether every continuation token is
+    the argmax of its step (lm-eval's ``is_greedy``, which greedy-match tasks
+    like lambada score on). ``start`` may be a scalar or [B] per-row offsets.
     """
     logits = forward(params, cfg, ids, mask)
     logprobs = jax.nn.log_softmax(logits, axis=-1)
@@ -53,7 +55,9 @@ def _sequence_logprob(params, cfg, ids, mask, start):
     start = jnp.asarray(start)
     start_col = start[:, None] if start.ndim == 1 else start
     valid = (pos + 1 >= start_col) & mask[:, 1:] & mask[:, :-1]
-    return jnp.sum(lp * valid, axis=1)
+    greedy_tok = jnp.argmax(logits[:, :-1, :], axis=-1).astype(targets.dtype)
+    is_greedy = jnp.all(jnp.where(valid, greedy_tok == targets, True), axis=1)
+    return jnp.sum(lp * valid, axis=1), is_greedy
 
 logger = logging.getLogger(__name__)
 
@@ -224,7 +228,7 @@ class JaxModel(ModelInterface):
         ids[0, : len(full)] = full
         mask = np.zeros((1, blen), np.bool_)
         mask[0, : len(full)] = True
-        out = _sequence_logprob(
+        out, _ = _sequence_logprob(
             self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
             jnp.asarray(len(ctx), jnp.int32),
         )
@@ -233,20 +237,27 @@ class JaxModel(ModelInterface):
     def get_loglikelihood_batch(self, pairs: Sequence[Tuple[str, str]]) -> List[float]:
         """Batched (context, continuation) scoring — one device call per
         length bucket instead of one per pair (the lm-eval MC hot loop)."""
+        return [ll for ll, _ in self.get_loglikelihood_batch_scored(pairs)]
+
+    def get_loglikelihood_batch_scored(
+        self, pairs: Sequence[Tuple[str, str]]
+    ) -> List[Tuple[float, bool]]:
+        """Like :meth:`get_loglikelihood_batch` but also reports lm-eval's
+        ``is_greedy``: whether the continuation equals the greedy decode
+        (reference lm_eval scores greedy-match tasks on this flag)."""
         self._ensure()
         encoded = []
         for context, continuation in pairs:
             ctx = self.tokenizer.encode(context)
             full = self.tokenizer.encode(context + continuation)
             encoded.append((ctx, full))
-        out = [0.0] * len(pairs)
+        out: List[Tuple[float, bool]] = [(0.0, False)] * len(pairs)
         order = sorted(range(len(pairs)), key=lambda i: len(encoded[i][1]))
         pad = _pad_id(self.tokenizer)
         group_size = 8
         for gstart in range(0, len(order), group_size):
             idx = order[gstart : gstart + group_size]
             blen = _bucket(max(len(encoded[i][1]) for i in idx))
-            b = len(idx)
             ids = np.full((group_size, blen), pad, np.int32)
             mask = np.zeros((group_size, blen), np.bool_)
             starts = np.zeros((group_size,), np.int32)
@@ -255,13 +266,13 @@ class JaxModel(ModelInterface):
                 ids[row, : len(full)] = full
                 mask[row, : len(full)] = True
                 starts[row] = max(len(ctx), 1)
-            lp = _sequence_logprob(
+            lp, greedy = _sequence_logprob(
                 self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask),
                 jnp.asarray(starts),
             )
-            lp = np.asarray(lp)
+            lp, greedy = np.asarray(lp), np.asarray(greedy)
             for row, i in enumerate(idx):
-                out[i] = float(lp[row])
+                out[i] = (float(lp[row]), bool(greedy[row]))
         return out
 
     def forward(self, input_ids: np.ndarray) -> np.ndarray:
