@@ -108,6 +108,10 @@ class JaxModel(ModelInterface):
         self.group_size = int(config.get("group_size", 128))
         self.seed = int(config.get("seed", 0))
         self.max_seq_len = int(config.get("max_seq_len", 2048))
+        # weight dtype for checkpoint loads: bf16 (default) or float32 for
+        # numerics-parity work
+        self.dtype = jnp.float32 if str(config.get("dtype", "bf16")) in ("float32", "fp32") \
+            else jnp.bfloat16
         self.cfg: Optional[TransformerConfig] = None
         self.params = None
         self.tokenizer = None
@@ -124,7 +128,7 @@ class JaxModel(ModelInterface):
         if self.model_path:
             from .hf_loader import load_hf_causal_lm
 
-            loaded = load_hf_causal_lm(self.model_path)
+            loaded = load_hf_causal_lm(self.model_path, dtype=self.dtype)
         if loaded is not None:
             self.cfg, self.params = loaded
             self.tokenizer = _load_hf_tokenizer(self.model_path) or ByteTokenizer()
