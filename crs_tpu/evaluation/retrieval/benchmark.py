@@ -169,22 +169,27 @@ class RetrievalBenchmark(ModelBenchmark[RetrievalResults]):
         all_chunks: Sequence[Sequence[Dict[str, Any]]],
         contexts: Sequence[str],
     ) -> Dict[str, Any]:
+        # Exact reference semantics (:795-824): whitespace tokens WITHOUT
+        # punctuation stripping, sufficiency gives partial credit below the
+        # 0.8 threshold, and precision is the relevance of the FULL joined
+        # context to the question (not a per-chunk average).
+        threshold = float(self.config.get("sufficiency_token_threshold", 0.8))
         sufficiency, precision, coverage = [], [], []
         for q, chunks, ctx in zip(questions, all_chunks, contexts):
             answer = q.get("answer", "")
+            c_tokens = set(ctx.lower().split())
             if answer:
-                a_tokens = set(_tokens(answer))
-                c_tokens = set(_tokens(ctx))
+                a_tokens = set(answer.lower().split())
                 overlap = len(a_tokens & c_tokens) / len(a_tokens) if a_tokens else 0.0
-                # sufficient: answer verbatim in context OR ≥0.8 token overlap
-                sufficiency.append(float(answer.lower() in ctx.lower() or overlap >= 0.8))
+                if answer.lower() in ctx.lower():
+                    sufficiency.append(1.0)
+                else:
+                    sufficiency.append(1.0 if overlap >= threshold else overlap)
                 coverage.append(overlap)
             if chunks:
+                q_tokens = set(q["question"].lower().split())
                 precision.append(
-                    float(np.mean([
-                        RetrievalMetrics.context_relevance(q["question"], c["text"])
-                        for c in chunks
-                    ]))
+                    len(q_tokens & c_tokens) / len(q_tokens) if q_tokens else 0.0
                 )
         out: Dict[str, Any] = {}
         if sufficiency:

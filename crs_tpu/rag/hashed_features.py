@@ -8,6 +8,12 @@ The host-side hot loop of index build. Algorithm spec (shared verbatim with
 - bucket = FNV-1a-64(gram) mod num_features,
 - weight = 1 + ln(count).
 
+The ``*_counts`` variants additionally support char 3/4-grams per word
+(``^``/``$`` boundary-padded, windows only when the padded word is strictly
+longer than n) and return RAW counts — the corpus-fitted lexical encoder
+(``crs_tpu.rag.embedding.LexicalLSAEncoder``) applies BM25×IDF weighting on
+top of them.
+
 The C++ library is compiled on demand with g++ (no pybind11 in the image —
 plain ctypes over an ``extern "C"`` API) and cached next to the source;
 failures fall back to the Python implementation silently.
@@ -25,7 +31,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["featurize", "featurize_batch", "native_available"]
+__all__ = ["featurize", "featurize_batch", "featurize_batch_counts", "native_available"]
 
 _FNV_OFFSET = 1469598103934665603
 _FNV_PRIME = 1099511628211
@@ -66,6 +72,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.float32),
             np.ctypeslib.ndpointer(np.int64), ctypes.c_int,
         ]
+        if hasattr(lib, "featurize_batch_ex"):
+            lib.featurize_batch_ex.restype = ctypes.c_int
+            lib.featurize_batch_ex.argtypes = [
+                ctypes.c_char_p, np.ctypeslib.ndpointer(np.int64),
+                ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+                np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.float32),
+                np.ctypeslib.ndpointer(np.int64), ctypes.c_int,
+            ]
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain dependent
         logger.warning("native featurizer unavailable (%s); using Python path", e)
@@ -102,7 +116,7 @@ def _tokenize_bytes(text: str) -> List[bytes]:
     return words
 
 
-def _featurize_py(text: str, num_features: int) -> Dict[int, float]:
+def _count_py(text: str, num_features: int, char_ngrams: bool = False) -> Dict[int, int]:
     words = _tokenize_bytes(text)
     counts: Dict[int, int] = {}
     for w in words:
@@ -111,6 +125,20 @@ def _featurize_py(text: str, num_features: int) -> Dict[int, float]:
     for a, b in zip(words, words[1:]):
         idx = _fnv1a(a + b"\x1f" + b) % num_features
         counts[idx] = counts.get(idx, 0) + 1
+    if char_ngrams:
+        for w in words:
+            # native path caps words at 256 bytes before padding
+            padded = b"^" + w[:256] + b"$"
+            for n in (3, 4):
+                if len(padded) > n:
+                    for i in range(len(padded) - n + 1):
+                        idx = _fnv1a(padded[i : i + n]) % num_features
+                        counts[idx] = counts.get(idx, 0) + 1
+    return counts
+
+
+def _featurize_py(text: str, num_features: int) -> Dict[int, float]:
+    counts = _count_py(text, num_features)
     # float32 rounding matches the native path bit-for-bit
     return {i: float(np.float32(1.0) + np.log(np.float32(c))) for i, c in counts.items()}
 
@@ -164,6 +192,46 @@ def featurize_batch(
     if n < 0:  # overflow — retry text-by-text via the safe path
         return featurize_batch_fallback(texts, num_features)
     return out_idx[:n].copy(), out_w[:n].copy(), out_off
+
+
+def featurize_batch_counts(
+    texts: Sequence[str], num_features: int, char_ngrams: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CSR-style batch featurization with RAW counts (+ optional char n-grams):
+    (indices, counts, offsets[n+1]). Native fast path via featurize_batch_ex
+    (mode bit 0 = char n-grams, bit 1 = raw counts)."""
+    mode = 2 | (1 if char_ngrams else 0)
+    lib = _build_and_load()
+    if lib is not None and hasattr(lib, "featurize_batch_ex"):
+        encoded = [t.encode("utf-8") for t in texts]
+        blob = b"".join(encoded)
+        text_offsets = np.zeros(len(texts) + 1, np.int64)
+        np.cumsum([len(e) for e in encoded], out=text_offsets[1:])
+        # char n-grams multiply feature count ~6x vs word grams
+        per_char = 8 if char_ngrams else 2
+        cap = max(per_char * len(blob) + 16 * len(texts) + 256, 1024)
+        out_idx = np.zeros(cap, np.int64)
+        out_w = np.zeros(cap, np.float32)
+        out_off = np.zeros(len(texts) + 1, np.int64)
+        n = lib.featurize_batch_ex(
+            blob, text_offsets, len(texts), num_features, mode,
+            out_idx, out_w, out_off, cap,
+        )
+        if n >= 0:
+            return out_idx[:n].copy(), out_w[:n].copy(), out_off
+    indices: List[int] = []
+    weights: List[float] = []
+    offsets = [0]
+    for t in texts:
+        f = _count_py(t, num_features, char_ngrams)
+        indices.extend(f.keys())
+        weights.extend(float(c) for c in f.values())
+        offsets.append(len(indices))
+    return (
+        np.asarray(indices, np.int64),
+        np.asarray(weights, np.float32),
+        np.asarray(offsets, np.int64),
+    )
 
 
 def featurize_batch_fallback(texts, num_features):

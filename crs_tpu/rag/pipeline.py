@@ -51,6 +51,10 @@ class RAGPipeline:
         self.chunker = TextChunker(cfg.get("chunking"))
         self.embedder = EmbeddingModel(cfg.get("embedding"))
         self.store = VectorStore(cfg.get("vector_store"))
+        # a persisted index carries its fitted embedder state (lexical
+        # BM25/LSA) — reload it so queries embed consistently
+        if self.store.persist_directory and self.store.n > 0:
+            self.embedder.load_state(self.store.persist_directory)
         self.retriever = ContextRetriever(self.store, self.embedder, cfg.get("retrieval"))
         self.model_interface = model_interface
         if model_interface is not None:
@@ -88,8 +92,14 @@ class RAGPipeline:
                 chunks.extend(self.chunker.chunk(text, page_number=page))
         if not chunks:
             raise ValueError("no chunks produced from input documents")
+        # corpus-fitted backends (lexical BM25/LSA) learn their statistics
+        # from the chunks being indexed; no-op for stateless backends
+        if hasattr(self.embedder, "fit"):
+            self.embedder.fit([c.text for c in chunks])
         embeddings = self.embedder.embed_chunks(chunks)
         self.store.create_index(chunks, embeddings)
+        if self.store.persist_directory and hasattr(self.embedder, "save_state"):
+            self.embedder.save_state(self.store.persist_directory)
         self.index_time_s = time.perf_counter() - t0
         logger.info("Indexed %d chunks in %.2fs", len(chunks), self.index_time_s)
         return self.index_time_s

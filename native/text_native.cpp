@@ -65,16 +65,17 @@ struct CountMap {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Featurize one text. Writes up to max_out (index, weight) pairs; returns the
-// number written (or -1 if max_out was too small).
-int featurize(const char* text, int text_len, long long num_features,
-              long long* out_idx, float* out_w, int max_out) {
-    // tokenize in place: record word (start, len) spans over a lowercased copy
+// Shared tokenizer + gram accumulator. mode bits:
+//   bit 0 — add char 3/4-grams per word (with '^'/'$' boundary padding)
+//   bit 1 — emit raw counts instead of 1+ln(count)
+// Returns number of pairs written, or -1 on overflow.
+int featurize_impl(const char* text, int text_len, long long num_features,
+                   int mode, long long* out_idx, float* out_w, int max_out) {
     constexpr int MAX_WORDS = 16384;
     static thread_local char buf[1 << 20];
-    if (text_len > static_cast<int>(sizeof(buf))) text_len = sizeof(buf);
+    if (text_len > static_cast<int>(sizeof(buf)) - 2) text_len = sizeof(buf) - 2;
     int starts[MAX_WORDS], lens[MAX_WORDS];
     int n_words = 0;
     int w_start = -1;
@@ -95,27 +96,81 @@ int featurize(const char* text, int text_len, long long num_features,
     }
 
     CountMap map;
-    // unigrams
+    const uint64_t nf = static_cast<uint64_t>(num_features);
     for (int w = 0; w < n_words; ++w) {
         uint64_t h = fnv1a(buf + starts[w], lens[w]);
-        map.add(static_cast<int64_t>(h % static_cast<uint64_t>(num_features)));
+        map.add(static_cast<int64_t>(h % nf));
     }
-    // bigrams: word1 \x1f word2
     const char SEP = '\x1f';
     for (int w = 0; w + 1 < n_words; ++w) {
         uint64_t h = fnv1a(buf + starts[w], lens[w]);
         h = fnv1a(&SEP, 1, h);
         h = fnv1a(buf + starts[w + 1], lens[w + 1], h);
-        map.add(static_cast<int64_t>(h % static_cast<uint64_t>(num_features)));
+        map.add(static_cast<int64_t>(h % nf));
+    }
+    if (mode & 1) {
+        // char n-grams over '^' + word + '$', n in {3, 4}, windows only when
+        // the padded word is strictly longer than n (spec shared with Python)
+        char padded[256 + 2];
+        for (int w = 0; w < n_words; ++w) {
+            int len = lens[w] < 256 ? lens[w] : 256;
+            padded[0] = '^';
+            memcpy(padded + 1, buf + starts[w], len);
+            padded[len + 1] = '$';
+            int plen = len + 2;
+            for (int n = 3; n <= 4; ++n) {
+                if (plen <= n) continue;
+                for (int i = 0; i + n <= plen; ++i) {
+                    uint64_t h = fnv1a(padded + i, n);
+                    map.add(static_cast<int64_t>(h % nf));
+                }
+            }
+        }
     }
 
     if (map.n_used > max_out) return -1;
+    const bool raw = (mode & 2) != 0;
     for (int i = 0; i < map.n_used; ++i) {
         int slot = map.used_slots[i];
         out_idx[i] = map.keys[slot];
-        out_w[i] = 1.0f + logf(static_cast<float>(map.counts[slot]));
+        out_w[i] = raw ? static_cast<float>(map.counts[slot])
+                       : 1.0f + logf(static_cast<float>(map.counts[slot]));
     }
     return map.n_used;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Mode-parameterized entry points (see featurize_impl for mode bits).
+int featurize_ex(const char* text, int text_len, long long num_features,
+                 int mode, long long* out_idx, float* out_w, int max_out) {
+    return featurize_impl(text, text_len, num_features, mode, out_idx, out_w, max_out);
+}
+
+int featurize_batch_ex(const char* blob, const long long* text_offsets, int n_texts,
+                       long long num_features, int mode, long long* out_idx,
+                       float* out_w, long long* out_offsets, int max_out) {
+    int total = 0;
+    out_offsets[0] = 0;
+    for (int t = 0; t < n_texts; ++t) {
+        int len = static_cast<int>(text_offsets[t + 1] - text_offsets[t]);
+        int n = featurize_impl(blob + text_offsets[t], len, num_features, mode,
+                               out_idx + total, out_w + total, max_out - total);
+        if (n < 0) return -1;
+        total += n;
+        out_offsets[t + 1] = total;
+    }
+    return total;
+}
+
+// Featurize one text. Writes up to max_out (index, weight) pairs; returns the
+// number written (or -1 if max_out was too small).
+int featurize(const char* text, int text_len, long long num_features,
+              long long* out_idx, float* out_w, int max_out) {
+    return featurize_impl(text, text_len, num_features, /*mode=*/0,
+                          out_idx, out_w, max_out);
 }
 
 // Batch variant: texts concatenated, offsets[n_texts+1]; CSR-style output.
@@ -123,17 +178,8 @@ int featurize(const char* text, int text_len, long long num_features,
 int featurize_batch(const char* blob, const long long* text_offsets, int n_texts,
                     long long num_features, long long* out_idx, float* out_w,
                     long long* out_offsets, int max_out) {
-    int total = 0;
-    out_offsets[0] = 0;
-    for (int t = 0; t < n_texts; ++t) {
-        int len = static_cast<int>(text_offsets[t + 1] - text_offsets[t]);
-        int n = featurize(blob + text_offsets[t], len, num_features,
-                          out_idx + total, out_w + total, max_out - total);
-        if (n < 0) return -1;
-        total += n;
-        out_offsets[t + 1] = total;
-    }
-    return total;
+    return featurize_batch_ex(blob, text_offsets, n_texts, num_features,
+                              /*mode=*/0, out_idx, out_w, out_offsets, max_out);
 }
 
 }  // extern "C"

@@ -1,0 +1,150 @@
+"""Corpus-fitted lexical encoder (BM25×IDF + LSA projection) tests.
+
+VERDICT round 1, item 1: the quality backend that closes the retrieval-
+quality gap against BASELINE.md without pretrained weights."""
+
+import numpy as np
+import pytest
+
+
+CORPUS = [
+    "Quantization maps weights to low precision integers saving memory.",
+    "Pruning removes unimportant weights producing sparse networks.",
+    "Distillation trains a small student to mimic a large teacher model.",
+    "Low rank factorization decomposes weight matrices into products.",
+    "The transformer architecture uses attention to mix token information.",
+    "Retrieval augmented generation fetches relevant context for a query.",
+    "Perplexity measures how well a language model predicts held out text.",
+    "Sparse attention reduces the quadratic cost of long sequences.",
+    "Knowledge distillation transfers capability with soft targets.",
+    "Vector databases store embeddings for nearest neighbor search.",
+]
+
+
+def test_counts_native_matches_python():
+    import crs_tpu.rag.hashed_features as hf
+
+    texts = ["Hello World hello", "précision très élevée!", "", "a ab abc abcd xyzzy"]
+    for char_ngrams in (False, True):
+        native = hf.featurize_batch_counts(texts, 32768, char_ngrams)
+        # force the Python path
+        lib, attempted = hf._lib, hf._load_attempted
+        hf._lib, hf._load_attempted = None, True
+        try:
+            py = hf.featurize_batch_counts(texts, 32768, char_ngrams)
+        finally:
+            hf._lib, hf._load_attempted = lib, attempted
+        assert (native[2] == py[2]).all()
+        for t in range(len(texts)):
+            lo, hi = int(native[2][t]), int(native[2][t + 1])
+            nd = dict(zip(native[0][lo:hi], native[1][lo:hi]))
+            pd = dict(zip(py[0][lo:hi], py[1][lo:hi]))
+            assert nd == pd
+
+
+def test_char_ngrams_add_features():
+    from crs_tpu.rag.hashed_features import featurize_batch_counts
+
+    _, _, off_plain = featurize_batch_counts(["quantization"], 32768, char_ngrams=False)
+    _, _, off_char = featurize_batch_counts(["quantization"], 32768, char_ngrams=True)
+    assert off_char[1] > off_plain[1]
+
+
+def test_lsa_preserves_sparse_ranking():
+    """For corpora with <= dim chunks the fitted LSA projection must produce
+    the EXACT ranking of the full sparse BM25 cosine (the projection spans
+    the doc subspace, and queries lose only doc-orthogonal components)."""
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    enc = LexicalLSAEncoder(dim=64, seed=0)
+    enc.fit(CORPUS)
+    queries = ["how does pruning create sparsity", "student teacher training",
+               "embedding nearest neighbor store"]
+    # dense sparse-space ground truth from the weighted CSR
+    def dense_rows(texts):
+        idx, w, off = enc._weighted_csr(texts)
+        out = np.zeros((len(texts), enc.num_features), np.float32)
+        for r in range(len(texts)):
+            out[r, idx[off[r]:off[r+1]]] = w[off[r]:off[r+1]]
+        n = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
+        return out / n
+
+    D_sparse, Q_sparse = dense_rows(CORPUS), dense_rows(queries)
+    exact_rank = np.argsort(-(Q_sparse @ D_sparse.T), axis=1)
+    D, Q = enc.encode(CORPUS), enc.encode(queries)
+    proj_rank = np.argsort(-(Q @ D.T), axis=1)
+    np.testing.assert_array_equal(exact_rank[:, :5], proj_rank[:, :5])
+
+
+def test_fit_improves_over_unfitted():
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    q = ["which technique makes networks sparse by deleting weights"]
+    gold = 1  # the pruning sentence
+    fitted = LexicalLSAEncoder(dim=64, seed=0)
+    fitted.fit(CORPUS)
+    rank_f = np.argsort(-(fitted.encode(q) @ fitted.encode(CORPUS).T))[0]
+    assert rank_f[0] == gold
+    # embeddings are unit-norm
+    np.testing.assert_allclose(np.linalg.norm(fitted.encode(CORPUS), axis=1), 1.0, atol=1e-4)
+
+
+def test_save_load_roundtrip(tmp_path):
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    enc = LexicalLSAEncoder(dim=32, seed=0)
+    enc.fit(CORPUS)
+    before = enc.encode(["pruning sparse weights"])
+    enc.save_state(str(tmp_path))
+    enc2 = LexicalLSAEncoder(dim=32, seed=99)  # different seed: state must win
+    assert enc2.load_state(str(tmp_path))
+    after = enc2.encode(["pruning sparse weights"])
+    np.testing.assert_allclose(before, after, atol=1e-6)
+    assert enc2.fitted and enc2.dim == 32
+
+
+def test_pipeline_end_to_end_lexical(tmp_path):
+    from crs_tpu.rag.pipeline import RAGPipeline
+
+    cfg = {
+        "chunking": {"strategy": "semantic", "chunk_size": 30, "chunk_overlap": 5, "min_chunk_size": 3},
+        "embedding": {"backend": "lexical", "embedding_dim": 64},
+        "vector_store": {"format": "fp32", "block_size": 128,
+                         "persist_directory": str(tmp_path)},
+        "retrieval": {"top_k": 2, "similarity_threshold": 0.0},
+    }
+    p = RAGPipeline(cfg).setup()
+    p.index_documents(CORPUS)
+    assert p.embedder._hashed.fitted
+    hits = p.retrieve("removing weights to create sparse networks")
+    assert hits and "sparse" in hits[0]["text"].lower()
+    # a fresh pipeline on the persisted dir reloads index + fitted encoder
+    p2 = RAGPipeline(cfg).setup()
+    assert p2.store.n == p.store.n
+    assert p2.embedder._hashed.fitted
+    hits2 = p2.retrieve("removing weights to create sparse networks")
+    assert [h["id"] for h in hits2] == [h["id"] for h in hits]
+
+
+def test_context_quality_reference_semantics():
+    """Metric drift fix: sufficiency gives partial credit below 0.8,
+    precision scores the FULL context (reference benchmark.py:795-824)."""
+    from crs_tpu.evaluation.retrieval.benchmark import RetrievalBenchmark
+
+    b = RetrievalBenchmark.__new__(RetrievalBenchmark)
+    b.config = {}
+    questions = [{"question": "what is alpha beta", "answer": "alpha beta gamma delta"}]
+    chunks = [[{"text": "alpha beta something"}]]
+    contexts = ["alpha beta something"]
+    out = b._context_quality(questions, chunks, contexts)
+    # overlap = |{alpha, beta}| / 4 = 0.5 → partial credit, not 0
+    assert out["context_sufficiency"] == pytest.approx(0.5)
+    assert out["context_coverage"] == pytest.approx(0.5)
+    # precision = |{what,is,alpha,beta} ∩ ctx| / 4 = 0.5
+    assert out["context_precision"] == pytest.approx(0.5)
+    # verbatim containment → 1.0 regardless of extra tokens
+    out2 = b._context_quality(
+        [{"question": "q", "answer": "alpha beta"}],
+        [[{"text": "x"}]], ["alpha beta and much more text"],
+    )
+    assert out2["context_sufficiency"] == 1.0
