@@ -167,6 +167,7 @@ class VectorStore:
             # int8 codes kept for exact-ish rescore (still 4x smaller than fp32)
             codes, scales = scalar_quantize(vecs)
             self._codes, self._scales = codes, scales
+            self._pq_trained_n = self.n  # drift baseline for incremental add
 
     # -- query -------------------------------------------------------------
     def search_batch(
@@ -286,31 +287,99 @@ class VectorStore:
         return 0
 
     def add(self, chunks: Sequence[Any], embeddings: np.ndarray) -> None:
-        """Incremental add (reference collection.add, indexing.py:114-119):
-        appends chunks and rebuilds the device arrays (PQ codebooks are
-        retrained on the grown corpus)."""
+        """Incremental add (reference collection.add, indexing.py:114-119),
+        o(N) amortized: new rows are written into the index's padding region
+        via a jitted dynamic-slice update (donated buffer → in-place on
+        device; one compile per (capacity, batch-bucket) shape pair, not per
+        call), with capacity doubling when full. Only the NEW rows are
+        quantized/encoded — no host materialization of the existing corpus.
+
+        PQ: new rows are encoded against the existing codebook; the codebook
+        is retrained (one O(N) rebuild) only when the corpus has doubled
+        since the last training, bounding drift while keeping adds cheap.
+        Mesh-sharded stores rebuild (re-sharding rows is inherently O(N)).
+        """
         if self.n == 0:
             self.create_index(chunks, embeddings)
             return
-        old_vectors = np.asarray(self._dense_vectors())[: self.n]
-        old = (self.ids, self.documents, self.metadatas)
-        all_emb = np.concatenate([old_vectors, np.asarray(embeddings, np.float32)])
-        ids, docs, mds = list(old[0]), list(old[1]), list(old[2])
+        emb = np.asarray(embeddings, np.float32)
+        if emb.ndim != 2 or emb.shape[1] != self.dim:
+            raise ValueError(f"embeddings must be [M, {self.dim}]")
         for i, c in enumerate(chunks):
             if hasattr(c, "text"):
-                ids.append(c.chunk_id)
-                docs.append(c.text)
-                mds.append(c.to_metadata())
+                self.ids.append(c.chunk_id)
+                self.documents.append(c.text)
+                self.metadatas.append(c.to_metadata())
             else:
-                ids.append(f"chunk_{len(ids)}")
-                docs.append(str(c))
-                mds.append({})
+                self.ids.append(f"chunk_{len(self.ids)}")
+                self.documents.append(str(c))
+                self.metadatas.append({})
+        if self.mesh is not None:
+            self._rebuild_from_dense(
+                np.concatenate([np.asarray(self._dense_vectors())[: self.n], emb])
+            )
+            return
+        new_n = self.n + emb.shape[0]
+        if self.format == "pq" and new_n >= 2 * getattr(self, "_pq_trained_n", self.n):
+            # drift bound: retrain codebooks once the corpus has doubled
+            self._rebuild_from_dense(
+                np.concatenate([np.asarray(self._dense_vectors())[: self.n], emb])
+            )
+            return
+        # pad the new block to a fixed row bucket so each (capacity, bucket)
+        # pair compiles exactly once (remote compiles cost 20-40s on the
+        # axon tunnel); the padding rows land in the index's padding region
+        block = _pad_rows(emb, min(self.block_size, 128))
+        # capacity must cover the PADDED block: dynamic_update_slice clamps
+        # out-of-bounds starts, which would silently shift the write
+        if self.n + block.shape[0] > self._padded_rows():
+            self._grow(max(2 * self._padded_rows(), self.n + block.shape[0]))
+        start = jnp.asarray(self.n, jnp.int32)
+        if self.format in ("fp32", "bf16"):
+            self._vectors = _row_update(self._vectors, jnp.asarray(block), start)
+        elif self.format == "int8":
+            codes, scales = scalar_quantize(jnp.asarray(block, jnp.float32))
+            self._codes = _row_update(self._codes, codes, start)
+            self._scales = _row_update(self._scales, scales, start)
+        else:  # pq: encode new rows with the EXISTING codebook + int8 rescore codes
+            self._pq_codes = _row_update(
+                self._pq_codes, pq_encode(self._pq_codebook, jnp.asarray(block)), start
+            )
+            codes, scales = scalar_quantize(jnp.asarray(block, jnp.float32))
+            self._codes = _row_update(self._codes, codes, start)
+            self._scales = _row_update(self._scales, scales, start)
+        self.n = new_n
+        logger.info("Index grown to %d vectors (in-place append)", self.n)
+        if self.persist_directory:
+            self.save(self.persist_directory)
+
+    def _rebuild_from_dense(self, all_emb: np.ndarray) -> None:
         n = all_emb.shape[0]
+        ids, docs, mds = self.ids, self.documents, self.metadatas
         self._clear()
         self.n, self.dim = n, int(all_emb.shape[1])
         self.ids, self.documents, self.metadatas = ids, docs, mds
         self._build_device_arrays(_pad_rows(all_emb, self.block_size))
-        logger.info("Index grown to %d vectors", self.n)
+        self._pq_trained_n = self.n
+        logger.info("Index rebuilt at %d vectors", self.n)
+
+    def _grow(self, new_capacity: int) -> None:
+        """Double the padded device arrays (zeros in the new tail)."""
+        cap = -(-new_capacity // self.block_size) * self.block_size
+        old = self._padded_rows()
+        if cap <= old:
+            return
+
+        def grown(arr):
+            if arr is None:
+                return None
+            pad = jnp.zeros((cap - old,) + arr.shape[1:], arr.dtype)
+            return jnp.concatenate([arr, pad], axis=0)
+
+        self._vectors = grown(self._vectors)
+        self._codes = grown(self._codes)
+        self._scales = grown(self._scales)
+        self._pq_codes = grown(self._pq_codes)
 
     def search(
         self,
@@ -436,6 +505,14 @@ class VectorStore:
             self._pq_codes = jnp.asarray(arrays["pq_codes"], jnp.int32)
             self._pq_codebook = PQCodebook(jnp.asarray(arrays["pq_centroids"], jnp.float32))
         logger.info("Loaded index (%d vectors, %s) from %s", self.n, self.format, directory)
+
+
+@partial(jax.jit, donate_argnums=0)
+def _row_update(arr, block, start):
+    """Write ``block`` rows at ``start`` (traced — no recompile per offset);
+    the donated input buffer lets XLA update in place."""
+    zeros = (0,) * (arr.ndim - 1)
+    return jax.lax.dynamic_update_slice(arr, block.astype(arr.dtype), (start,) + zeros)
 
 
 @partial(jax.jit, static_argnames=("k",))
