@@ -55,13 +55,15 @@ def int8_topk(
     k: int,
     valid_n: jax.Array | int | None = None,
     rescore_k: int = 0,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
 ) -> Tuple[jax.Array, jax.Array]:
     """int8 MXU scan + optional fp32 exact rescore of top candidates.
 
     With ``rescore_k > k``: scan selects ``rescore_k`` candidates using the
     fully-quantized dot, then candidates are dequantized and re-scored
     against the *fp32* query; the final top-k ordering comes from the
-    rescored values.
+    rescored values. ``row_mask`` filters rows WITHOUT densifying the corpus
+    (the int8 codes stay int8; masking applies to the [B, N] score matrix).
     """
     n = codes.shape[0]
     q_codes, q_scales = scalar_quantize(queries)
@@ -75,6 +77,8 @@ def int8_topk(
     if valid_n is not None:
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         approx = jnp.where(row_ids < valid_n, approx, NEG_INF)
+    if row_mask is not None:
+        approx = jnp.where(row_mask[None, :], approx, NEG_INF)
 
     if rescore_k <= k:
         s, i = jax.lax.top_k(approx, min(k, n))

@@ -32,6 +32,7 @@ def exact_topk(
     queries: jax.Array,  # [B, D] fp32
     k: int,
     valid_n: jax.Array | int | None = None,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact cosine top-k: returns (scores [B, k] f32, ids [B, k] i32)."""
     n = vectors.shape[0]
@@ -46,6 +47,8 @@ def exact_topk(
     if valid_n is not None:
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         scores = jnp.where(row_ids < valid_n, scores, NEG_INF)
+    if row_mask is not None:
+        scores = jnp.where(row_mask[None, :], scores, NEG_INF)
     k_eff = min(k, n)
     top_scores, top_ids = jax.lax.top_k(scores, k_eff)
     if k_eff < k:  # pad to requested k with -inf/-1

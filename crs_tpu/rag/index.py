@@ -247,18 +247,36 @@ class VectorStore:
             return self._vectors[rows].astype(jnp.float32)
         return self._codes[rows].astype(jnp.float32) * self._scales[rows][..., None]
 
-    def _masked_search(self, q: jax.Array, k: int, where: Dict[str, Any]):
-        """Metadata-filtered search: host-built row mask + masked exact scan."""
-        mask = np.zeros(( self._padded_rows(),), np.float32)
+    def _row_mask(self, where: Dict[str, Any]) -> Tuple[np.ndarray, int]:
+        """Host-built metadata row mask over the padded rows."""
+        mask = np.zeros((self._padded_rows(),), np.bool_)
         allowed = [
             idx for idx, md in enumerate(self.metadatas)
             if all(md.get(key) == val for key, val in where.items())
         ]
-        mask[allowed] = 1.0
-        vecs = self._dense_vectors()
-        scores = jnp.dot(q, vecs.T, preferred_element_type=jnp.float32)
-        scores = jnp.where(jnp.asarray(mask)[None, :] > 0, scores, -1e30)
-        s, i = jax.lax.top_k(scores, min(k, max(len(allowed), 1)))
+        mask[allowed] = True
+        return mask, len(allowed)
+
+    def _masked_search(self, q: jax.Array, k: int, where: Dict[str, Any]):
+        """Metadata-filtered search in the index's NATIVE format — int8/pq
+        codes are never densified to fp32 (a 1.5 GB spike at 1M×384); the
+        mask applies to the [B, N] score matrix inside the scan op."""
+        mask_np, n_allowed = self._row_mask(where)
+        k_eff = min(k, max(n_allowed, 1))
+        mask = jnp.asarray(mask_np)
+        if self.mesh is not None:
+            # sharded stores: mask via the (already fp32/sharded) scan
+            vecs = self._dense_vectors()
+            scores = jnp.dot(q, vecs.T, preferred_element_type=jnp.float32)
+            scores = jnp.where(mask[None, :], scores, -1e30)
+            s, i = jax.lax.top_k(scores, k_eff)
+        elif self.format in ("fp32", "bf16"):
+            s, i = exact_topk(self._vectors, q, k_eff, self.n, row_mask=mask)
+        else:  # int8 and pq (pq keeps int8 codes for exact-ish rescore)
+            s, i = int8_topk(
+                self._codes, self._scales, q, k_eff, self.n,
+                rescore_k=max(self.rescore_k, k_eff), row_mask=mask,
+            )
         return np.asarray(s), np.asarray(i, np.int32)
 
     def _dense_vectors(self) -> jax.Array:

@@ -80,15 +80,19 @@ class ContextRetriever:
         self._doc_tokens_n = -1
 
     # -- single query ------------------------------------------------------
-    def retrieve(self, query: str, top_k: Optional[int] = None) -> List[Dict[str, Any]]:
-        return self.retrieve_batch([query], top_k=top_k)[0]
+    def retrieve(
+        self, query: str, top_k: Optional[int] = None,
+        where: Optional[Dict[str, Any]] = None,
+    ) -> List[Dict[str, Any]]:
+        return self.retrieve_batch([query], top_k=top_k, where=where)[0]
 
     # -- batch (the TPU-native serving shape) ------------------------------
     def retrieve_batch(
-        self, queries: Sequence[str], top_k: Optional[int] = None
+        self, queries: Sequence[str], top_k: Optional[int] = None,
+        where: Optional[Dict[str, Any]] = None,
     ) -> List[List[Dict[str, Any]]]:
         if self.fused:
-            return self.retrieve_batch_fused(queries, top_k)
+            return self.retrieve_batch_fused(queries, top_k, where=where)
         k = top_k or self.top_k
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
@@ -102,7 +106,11 @@ class ContextRetriever:
         q_emb = self.embedder.embed(list(queries), as_numpy=False)
         if isinstance(q_emb, np.ndarray):  # backend without a device path
             q_emb = jnp.asarray(q_emb)
-        s_dev, r_dev = self.store.search_batch_dev(q_emb, fetch_k)
+        if where:
+            s_np, r_np = self.store._masked_search(q_emb, fetch_k, where)
+            s_dev, r_dev = jnp.asarray(s_np), jnp.asarray(r_np)
+        else:
+            s_dev, r_dev = self.store.search_batch_dev(q_emb, fetch_k)
         v_dev = self.store.gather_vectors_dev(r_dev) if use_mmr else None
         scores = np.asarray(s_dev)
         rows = np.asarray(r_dev)
@@ -203,9 +211,14 @@ class ContextRetriever:
         return ids, inv
 
     def retrieve_batch_fused(
-        self, queries: Sequence[str], top_k: Optional[int] = None
+        self, queries: Sequence[str], top_k: Optional[int] = None,
+        where: Optional[Dict[str, Any]] = None,
     ) -> List[List[Dict[str, Any]]]:
-        """One device program per batch: scan → rerank → MMR, one host sync."""
+        """One device program per batch: scan → rerank → MMR, one host sync.
+
+        ``where`` filters stay ON the fused path: the host-built metadata
+        row mask is one extra [N]-bool operand masking the scan scores
+        (VERDICT r1 #8 — filtered queries used to silently fall back)."""
         k = top_k or self.top_k
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
@@ -216,7 +229,7 @@ class ContextRetriever:
         if unsupported:
             fused_flag, self.fused = self.fused, False  # avoid recursion
             try:
-                return self.retrieve_batch(queries, top_k)
+                return self.retrieve_batch(queries, top_k, where=where)
             finally:
                 self.fused = fused_flag
         self._ensure_presence()
@@ -231,8 +244,13 @@ class ContextRetriever:
             args = (store._codes, store._scales)
         else:
             args = (store._vectors.astype(jnp.float32), None)
+        if where:
+            mask_np, _ = store._row_mask(where)
+            row_mask = jnp.asarray(mask_np)
+        else:
+            row_mask = jnp.ones((store._padded_rows(),), jnp.bool_)
         sim, rows, ranked, picks_valid = _fused_retrieve(
-            args[0], args[1], self._doc_token_ids,
+            args[0], args[1], self._doc_token_ids, row_mask,
             q_emb, q_tok, q_inv, jnp.asarray(store.n, jnp.int32),
             k=k, fetch_k=fetch_k,
             w=self.rerank_semantic_weight if self.rerank else 1.0,
@@ -296,21 +314,23 @@ import jax
     static_argnames=("k", "fetch_k", "w", "threshold", "lam", "use_mmr", "rescore_k"),
 )
 def _fused_retrieve(
-    vec_or_codes, scales, doc_token_ids, q_emb, q_tok, q_inv, valid_n,
+    vec_or_codes, scales, doc_token_ids, row_mask, q_emb, q_tok, q_inv, valid_n,
     *, k: int, fetch_k: int, w: float, threshold: float, lam: float,
     use_mmr: bool, rescore_k: int,
 ):
     """The whole post-embedding retrieval as ONE compiled program:
-    scan → candidate gather → hashed-presence rerank → MMR → final top-k."""
+    scan (with metadata row mask) → candidate gather → hashed-presence
+    rerank → MMR → final top-k."""
     from ..ops.quant import int8_topk
     from ..ops.topk import exact_topk
 
     if scales is None:
-        sim, rows = exact_topk(vec_or_codes, q_emb, fetch_k, valid_n)
+        sim, rows = exact_topk(vec_or_codes, q_emb, fetch_k, valid_n, row_mask=row_mask)
         cand = vec_or_codes[rows].astype(jnp.float32)
     else:
         sim, rows = int8_topk(
-            vec_or_codes, scales, q_emb, fetch_k, valid_n, rescore_k=rescore_k
+            vec_or_codes, scales, q_emb, fetch_k, valid_n,
+            rescore_k=rescore_k, row_mask=row_mask,
         )
         cand = vec_or_codes[rows].astype(jnp.float32) * scales[rows][..., None]
 
