@@ -154,10 +154,57 @@ class JaxModel(ModelInterface):
         if self.quantization in ("int8", "int4", "int3", "int2"):
             bits = int(self.quantization[3:])
             self.params = quantize_params(self.params, bits=bits, group_size=self.group_size)
+        elif self.quantization and (
+            self.quantization.startswith("awq") or self.quantization.startswith("gptq")
+        ):
+            # calibrated quantization (AWQ scale search / GPTQ error-
+            # compensated rounding) on bundled-corpus calibration batches
+            from .quant_calib import quantize_params_calibrated
+
+            method = "awq" if self.quantization.startswith("awq") else "gptq"
+            bits = int(self.quantization[len(method):] or 4)
+            self.params = quantize_params_calibrated(
+                self.params, self.cfg, method,
+                self._calibration_batches(),
+                bits=bits, group_size=self.group_size,
+            )
         elif self.quantization not in (None, "", "none", "bf16", "fp16"):
             raise ValueError(f"unknown quantization: {self.quantization}")
         self.load_time_s = time.perf_counter() - t0
         self._loaded = True
+
+    _CALIB_PDF = "/root/reference/data/2308.07633v4-clean.pdf"
+
+    def _calibration_batches(self, num_batches: int = 4, batch: int = 2, seq: int = 128):
+        """Fixed-shape calibration batches from the bundled corpus (zero-
+        egress stand-in for the reference's wikitext calibration split);
+        deterministic synthetic tokens when the corpus is unavailable."""
+        import os
+
+        texts: List[str] = []
+        if os.path.exists(self._CALIB_PDF):
+            try:
+                from ..rag.document_processing import DocumentProcessor
+
+                pages = DocumentProcessor({}).process_pdf(self._CALIB_PDF)
+                texts = [t for t, _ in pages if len(t.split()) > 50]
+            except Exception:  # pragma: no cover
+                texts = []
+        batches = []
+        rng = np.random.default_rng(self.seed)
+        for bi in range(num_batches):
+            ids = np.zeros((batch, seq), np.int32)
+            mask = np.zeros((batch, seq), np.bool_)
+            for row in range(batch):
+                t_idx = bi * batch + row
+                if texts:
+                    enc = self.tokenizer.encode(texts[t_idx % len(texts)], max_length=seq)
+                else:
+                    enc = rng.integers(0, self.cfg.vocab_size, (seq,)).tolist()
+                ids[row, : len(enc)] = enc
+                mask[row, : len(enc)] = True
+            batches.append((ids, mask))
+        return batches
 
     def _ensure(self) -> None:
         if not self._loaded:
@@ -403,8 +450,8 @@ _MODEL_TYPES = {
     "int4": "int4",
     "int3": "int3",  # reference HQQ nbits=3 equivalent
     "int2": "int2",  # reference HQQ nbits=2 equivalent
-    "gptq": "int4",  # reference aliases → our weight-only int4 equivalent
-    "awq": "int4",
+    "gptq": "gptq4",  # calibrated: error-compensated rounding (quant_calib)
+    "awq": "awq4",    # calibrated: activation-aware scale search (quant_calib)
     "hqq": "int4",
     "nf4": "int4",
 }

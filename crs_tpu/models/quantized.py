@@ -129,6 +129,26 @@ def quantize_tensor(w, bits: int = 8, group_size: int = 128) -> QuantizedTensor:
     raise ValueError(f"unsupported bits: {bits}")
 
 
+def tensor_from_int_codes(
+    vals: np.ndarray, scales: np.ndarray, bits: int, group_size: int
+) -> QuantizedTensor:
+    """Build a QuantizedTensor from precomputed integer codes + group scales
+    (the GPTQ/AWQ calibrated quantizers produce these); packs int4 nibbles
+    identically to :func:`quantize_tensor`."""
+    kin, kout = vals.shape
+    vals = np.asarray(vals, np.int8)
+    scales = np.asarray(scales, np.float32)
+    if bits == 4:
+        pairs = vals.reshape(kin // 2, 2, kout)
+        lo = pairs[:, 0, :] & 0x0F
+        hi = np.left_shift(pairs[:, 1, :].astype(np.int16), 4).astype(np.int16)
+        packed = (lo.astype(np.int16) | hi).astype(np.int8)
+        return QuantizedTensor(jnp.asarray(packed), jnp.asarray(scales), 4, group_size, (kin, kout))
+    if bits in (2, 3):
+        return QuantizedTensor(jnp.asarray(vals), jnp.asarray(scales), bits, group_size, (kin, kout))
+    raise ValueError(f"unsupported bits for int-code tensors: {bits}")
+
+
 @jax.custom_vjp
 def _int8_act_matmul(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
     """Forward: dynamic per-row activation int8 × int8 weight on the MXU.

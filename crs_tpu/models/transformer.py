@@ -30,7 +30,7 @@ from .quantized import qmatmul
 
 Params = Dict[str, Any]
 
-__all__ = ["TransformerConfig", "CONFIGS", "init_params", "forward", "init_cache", "decode_step", "KVCache"]
+__all__ = ["TransformerConfig", "CONFIGS", "init_params", "forward", "forward_captured", "init_cache", "decode_step", "KVCache"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +168,7 @@ def _attention(
     cache_kv: Optional[Tuple[jax.Array, jax.Array]],  # ([B, S_max, Hkv, hd], ...)
     cache_len: Optional[jax.Array],
     key_valid: Optional[jax.Array] = None,  # [B, S_kv] bool (padding mask)
+    capture: Optional[dict] = None,  # quant calibration: records o-proj input
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, s, d = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -208,20 +209,49 @@ def _attention(
     probs = jax.nn.softmax(scores + bias, axis=-1).astype(x.dtype)
     ctx = jnp.einsum("bkgst,btkd->bskgd", probs, values)
     ctx = ctx.reshape(b, s, h * hd)
+    if capture is not None:
+        capture["o_in"] = ctx
     return qmatmul(ctx, p["o"]), new_cache
 
 
-def _block(x, layer, cfg, positions, cache_kv, cache_len, key_valid=None):
+def _block(x, layer, cfg, positions, cache_kv, cache_len, key_valid=None,
+           capture: Optional[dict] = None):
+    attn_in = rms_norm(x, layer["attn_norm"]["scale"], cfg.rms_eps)
     a, new_cache = _attention(
-        rms_norm(x, layer["attn_norm"]["scale"], cfg.rms_eps), layer["attn"], cfg,
-        positions, cache_kv, cache_len, key_valid,
+        attn_in, layer["attn"], cfg,
+        positions, cache_kv, cache_len, key_valid, capture,
     )
     x = x + a
     hmlp = rms_norm(x, layer["mlp_norm"]["scale"], cfg.rms_eps)
     gate = jax.nn.silu(qmatmul(hmlp, layer["mlp"]["gate"]))
     up = qmatmul(hmlp, layer["mlp"]["up"])
-    x = x + qmatmul(gate * up, layer["mlp"]["down"])
+    down_in = gate * up
+    if capture is not None:
+        capture["attn_in"] = attn_in
+        capture["mlp_in"] = hmlp
+        capture["down_in"] = down_in
+    x = x + qmatmul(down_in, layer["mlp"]["down"])
     return x, new_cache
+
+
+def forward_captured(
+    params: Params, cfg: TransformerConfig, ids: jax.Array,
+    attn_mask: Optional[jax.Array] = None,
+):
+    """Forward that also returns each layer's linear-input activations —
+    the calibration tap for activation-aware quantization (AWQ/GPTQ,
+    crs_tpu.models.quant_calib). Not jitted here; callers jit the stats
+    reduction around it so the raw activations never leave the device."""
+    b, s = ids.shape
+    x = params["embed"][ids]
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    sites = []
+    for layer in params["layers"]:
+        cap: Dict[str, jax.Array] = {}
+        x, _ = _block(x, layer, cfg, positions, None, None, attn_mask, capture=cap)
+        sites.append(cap)
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+    return _logits(x, params, cfg), sites
 
 
 def _logits(x: jax.Array, params: Params, cfg: TransformerConfig) -> jax.Array:

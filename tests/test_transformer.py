@@ -207,9 +207,12 @@ def test_quantized_model_info_sizes(tiny_model):
 
 
 def test_factory_aliases():
-    for alias in ("gptq", "awq", "hqq", "nf4"):
+    # gptq/awq now route to the CALIBRATED quantizers (quant_calib); the
+    # uncalibrated aliases stay plain int4 RTN
+    for alias, expected in (("gptq", "gptq4"), ("awq", "awq4"),
+                            ("hqq", "int4"), ("nf4", "int4")):
         m = create_model_interface(alias, {"config": "tiny"})
-        assert m.quantization == "int4"
+        assert m.quantization == expected
     with pytest.raises(ValueError):
         create_model_interface("cuda_only_thing")
 
