@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.topk import NEG_INF
 
-__all__ = ["shard_corpus", "sharded_topk"]
+__all__ = ["shard_corpus", "sharded_topk", "sharded_topk_int8", "sharded_topk_residual_pq"]
 
 
 def shard_corpus(
@@ -163,3 +163,79 @@ def sharded_topk_int8(
     allgather + global merge (the compressed multi-chip retrieval path)."""
     valid = jnp.asarray(valid_n, jnp.int32)
     return _sharded_topk_int8_impl(codes, scales, queries, valid, k, rescore_k, mesh, axis_name)
+
+
+@partial(jax.jit, static_argnames=("k", "rescore_k", "axis_name", "mesh"))
+def _sharded_topk_rpq_impl(
+    rotation, coarse, centroids, coarse_ids, pq_codes, i8_codes, i8_scales,
+    queries, valid_n, k: int, rescore_k: int, mesh: Mesh, axis_name: str,
+):
+    num_shards = mesh.shape[axis_name]
+    per_shard = pq_codes.shape[0] // num_shards
+    m = pq_codes.shape[1]
+
+    def local_scan(rot, crs, cents, cid_l, pq_l, c_l, s_l, q, valid):
+        # cid_l [per], pq_l [per, M], c_l [per, D] int8, s_l [per], q [B, D]
+        shard_idx = jax.lax.axis_index(axis_name)
+        offset = shard_idx * per_shard
+        qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+        coarse_lut = jnp.dot(qr, crs.T, preferred_element_type=jnp.float32)
+        scores = coarse_lut[:, cid_l]  # [B, per]
+        b, d = qr.shape
+        q_sub = qr.reshape(b, m, d // m)
+        lut = jnp.einsum("bmd,mkd->bmk", q_sub, cents, preferred_element_type=jnp.float32)
+        for mi in range(m):
+            scores = scores + lut[:, mi, :][:, pq_l[:, mi]]
+        local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, per_shard), 1) + offset
+        scores = jnp.where(local_ids < valid, scores, NEG_INF)
+        cand_k = min(rescore_k, per_shard)
+        _, cand = jax.lax.top_k(scores, cand_k)
+        # exact-ish local rescore against the ORIGINAL-space int8 codes
+        cand_vecs = c_l[cand].astype(jnp.float32) * s_l[cand][..., None]
+        exact = jnp.einsum("bd,bcd->bc", q, cand_vecs, preferred_element_type=jnp.float32)
+        gids = cand + offset
+        exact = jnp.where(gids < valid, exact, NEG_INF)
+        k_local = min(k, cand_k)
+        s_top, sel = jax.lax.top_k(exact, k_local)
+        i_top = jnp.take_along_axis(gids, sel, axis=1)
+        all_s = jax.lax.all_gather(s_top, axis_name)
+        all_i = jax.lax.all_gather(i_top, axis_name)
+        flat_s = all_s.transpose(1, 0, 2).reshape(b, -1)
+        flat_i = all_i.transpose(1, 0, 2).reshape(b, -1)
+        top_s, sel2 = jax.lax.top_k(flat_s, min(k, flat_s.shape[1]))
+        return top_s, jnp.take_along_axis(flat_i, sel2, axis=1)
+
+    return jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(P(), P(), P(),
+                  P(axis_name), P(axis_name, None), P(axis_name, None), P(axis_name),
+                  P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(rotation, coarse, centroids, coarse_ids, pq_codes, i8_codes, i8_scales,
+      queries, valid_n)
+
+
+def sharded_topk_residual_pq(
+    rpq,  # ResidualPQ (replicated: rotation/coarse/codebook)
+    coarse_ids: jax.Array,  # [Np] int32, row-sharded
+    pq_codes: jax.Array,  # [Np, M] int32, row-sharded
+    i8_codes: jax.Array,  # [Np, D] int8, row-sharded (rescore)
+    i8_scales: jax.Array,  # [Np] f32, row-sharded
+    queries: jax.Array,
+    k: int,
+    valid_n: int,
+    mesh: Mesh,
+    rescore_k: int = 64,
+    axis_name: str = "corpus",
+) -> Tuple[jax.Array, jax.Array]:
+    """Sharded residual-PQ scan (VERDICT r1 #4: pq in the mesh store):
+    per-shard coarse+residual ADC → local int8 rescore → allgather merge.
+    Codebooks/rotation are replicated (small); only the per-row codes shard."""
+    valid = jnp.asarray(valid_n, jnp.int32)
+    return _sharded_topk_rpq_impl(
+        rpq.rotation, rpq.coarse, rpq.codebook.centroids,
+        coarse_ids, pq_codes, i8_codes, i8_scales,
+        queries, valid, k, rescore_k, mesh, axis_name,
+    )

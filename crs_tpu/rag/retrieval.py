@@ -223,7 +223,8 @@ class ContextRetriever:
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
         unsupported = (
-            self.store.format not in ("fp32", "bf16", "int8")
+            self.store.format not in ("fp32", "bf16", "int8", "pq")
+            or (self.store.format == "pq" and self.store._rpq is None)
             or self.store.mesh is not None
         )
         if unsupported:
@@ -240,7 +241,12 @@ class ContextRetriever:
         q_tok_np, q_inv_np = self._query_token_ids(queries)
         q_tok, q_inv = jnp.asarray(q_tok_np), jnp.asarray(q_inv_np)
         store = self.store
-        if store.format == "int8":
+        pq_args = None
+        if store.format == "pq":
+            # ADC candidates + int8 rescore, all inside the fused program
+            args = (store._codes, store._scales)
+            pq_args = (store._rpq, store._pq_coarse_ids, store._pq_codes)
+        elif store.format == "int8":
             args = (store._codes, store._scales)
         else:
             args = (store._vectors.astype(jnp.float32), None)
@@ -250,7 +256,7 @@ class ContextRetriever:
         else:
             row_mask = jnp.ones((store._padded_rows(),), jnp.bool_)
         sim, rows, ranked, picks_valid = _fused_retrieve(
-            args[0], args[1], self._doc_token_ids, row_mask,
+            args[0], args[1], self._doc_token_ids, row_mask, pq_args,
             q_emb, q_tok, q_inv, jnp.asarray(store.n, jnp.int32),
             k=k, fetch_k=fetch_k,
             w=self.rerank_semantic_weight if self.rerank else 1.0,
@@ -314,17 +320,36 @@ import jax
     static_argnames=("k", "fetch_k", "w", "threshold", "lam", "use_mmr", "rescore_k"),
 )
 def _fused_retrieve(
-    vec_or_codes, scales, doc_token_ids, row_mask, q_emb, q_tok, q_inv, valid_n,
+    vec_or_codes, scales, doc_token_ids, row_mask, pq_args, q_emb, q_tok, q_inv, valid_n,
     *, k: int, fetch_k: int, w: float, threshold: float, lam: float,
     use_mmr: bool, rescore_k: int,
 ):
     """The whole post-embedding retrieval as ONE compiled program:
     scan (with metadata row mask) → candidate gather → hashed-presence
-    rerank → MMR → final top-k."""
+    rerank → MMR → final top-k. ``pq_args`` switches the scan stage to
+    residual-PQ ADC candidates + int8 rescore (VERDICT r1 #4: pq on the
+    fused serving path)."""
     from ..ops.quant import int8_topk
     from ..ops.topk import exact_topk
 
-    if scales is None:
+    if pq_args is not None:
+        from ..ops.pq import residual_pq_adc_topk
+
+        rpq, coarse_ids, pq_codes = pq_args
+        cand_k = max(rescore_k, fetch_k)
+        _, cand_rows = residual_pq_adc_topk(
+            rpq, coarse_ids, pq_codes, q_emb, cand_k, valid_n, row_mask=row_mask
+        )
+        # exact-ish rescore of candidates against the int8 codes
+        cand_vecs = vec_or_codes[cand_rows].astype(jnp.float32) * scales[cand_rows][..., None]
+        exact = jnp.einsum("bd,bcd->bc", q_emb, cand_vecs, preferred_element_type=jnp.float32)
+        # re-apply the row mask: filtered rows may appear among padded
+        # candidates when few rows pass the filter
+        exact = jnp.where((cand_rows < valid_n) & row_mask[cand_rows], exact, NEG_INF)
+        sim, sel = jax.lax.top_k(exact, min(fetch_k, exact.shape[1]))
+        rows = jnp.take_along_axis(cand_rows, sel, axis=1)
+        cand = jnp.take_along_axis(cand_vecs, sel[:, :, None], axis=1)
+    elif scales is None:
         sim, rows = exact_topk(vec_or_codes, q_emb, fetch_k, valid_n, row_mask=row_mask)
         cand = vec_or_codes[rows].astype(jnp.float32)
     else:

@@ -125,18 +125,21 @@ def test_sharded_store_int8(mesh8):
     assert recall >= 0.9, recall
 
 
-def test_sharded_store_rejects_pq(mesh8):
-    import pytest as _pytest
-
+def test_sharded_store_supports_pq(mesh8):
+    """Round 2: the mesh-sharded store accepts format=pq (residual PQ with
+    replicated codebooks + row-sharded codes) — it used to raise ValueError."""
     from crs_tpu.rag.chunking import Chunk
     from crs_tpu.rag.index import VectorStore
 
     rng = np.random.default_rng(3)
-    vectors = _normalized(rng, 100, 32)
-    chunks = [Chunk(text=f"d{i}", chunk_id=f"chunk_{i}", tokens=1) for i in range(100)]
-    store = VectorStore({"format": "pq"}, mesh=mesh8)
-    with _pytest.raises(ValueError):
-        store.create_index(chunks, vectors)
+    vectors = _normalized(rng, 256, 32)
+    chunks = [Chunk(text=f"d{i}", chunk_id=f"chunk_{i}", tokens=1) for i in range(256)]
+    store = VectorStore({"format": "pq", "pq_subspaces": 8, "pq_iters": 8,
+                         "pq_opq_iters": 1, "pq_coarse_clusters": 32,
+                         "block_size": 64}, mesh=mesh8)
+    store.create_index(chunks, vectors)
+    scores, ids = store.search_batch(vectors[:4], top_k=1)
+    assert (np.asarray(ids)[:, 0] == np.arange(4)).all()  # self-retrieval
 
 
 def test_sharded_store_persistence_reshards(mesh8, tmp_path):
