@@ -69,16 +69,22 @@ class ResultsExporter:
 
     def _best_flags(self, metrics: Sequence[str]) -> Dict[str, str]:
         """label of the best value per metric (for highlighting)."""
-        best: Dict[str, str] = {}
+        return {m: pair[0] for m, pair in self._extreme_flags(metrics).items()}
+
+    def _extreme_flags(self, metrics: Sequence[str]) -> Dict[str, tuple]:
+        """(best_label, worst_label) per metric; worst is None when it would
+        equal best (fewer than two distinct values)."""
+        out: Dict[str, tuple] = {}
         for m in metrics:
             vals = {l: self._value(l, m) for l in self.results}
             vals = {l: v for l, v in vals.items() if isinstance(v, (int, float))}
             if not vals:
                 continue
             hib = higher_is_better(m)
-            pick = max(vals, key=vals.get) if hib is not False else min(vals, key=vals.get)
-            best[m] = pick
-        return best
+            best = max(vals, key=vals.get) if hib is not False else min(vals, key=vals.get)
+            worst = min(vals, key=vals.get) if hib is not False else max(vals, key=vals.get)
+            out[m] = (best, worst if worst != best and vals[worst] != vals[best] else None)
+        return out
 
     # -- formats --------------------------------------------------------------
     def to_csv(self, path: str, metrics: Optional[Sequence[str]] = None) -> None:
@@ -121,14 +127,19 @@ class ResultsExporter:
 
     def to_html(self, path: Optional[str] = None, metrics: Optional[Sequence[str]] = None) -> str:
         metrics = list(metrics or self.auto_metrics())
-        best = self._best_flags(metrics)
+        flags = self._extreme_flags(metrics)
         head = "".join(f"<th>{m}</th>" for m in ["model"] + metrics)
         body_rows = []
         for label in self.results:
             cells = [f"<td>{label}</td>"]
             for m in metrics:
                 v = self._value(label, m)
-                cls = ' class="best"' if best.get(m) == label else ""
+                best, worst = flags.get(m, (None, None))
+                cls = ""
+                if best == label:
+                    cls = ' class="best"'
+                elif worst == label:
+                    cls = ' class="worst"'
                 cells.append(f"<td{cls}>{_fmt(v)}</td>")
             body_rows.append("<tr>" + "".join(cells) + "</tr>")
         html = (
@@ -136,6 +147,7 @@ class ResultsExporter:
             "table{border-collapse:collapse;font-family:sans-serif}"
             "td,th{border:1px solid #999;padding:4px 8px}"
             "td.best{background:#c8e6c9;font-weight:bold}"
+            "td.worst{background:#ffcdd2}"
             "</style></head><body><table>"
             f"<tr>{head}</tr>{''.join(body_rows)}</table></body></html>"
         )

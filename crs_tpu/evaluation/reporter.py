@@ -25,6 +25,7 @@ body{font-family:sans-serif;margin:2em;max-width:1100px}
 h1,h2{color:#223} table{border-collapse:collapse;margin:1em 0}
 td,th{border:1px solid #aaa;padding:4px 10px;font-size:14px}
 td.best{background:#c8e6c9;font-weight:bold}
+td.worst{background:#ffcdd2}
 .meta{color:#666;font-size:12px} img{max-width:100%}
 .section{margin-top:2em}
 """

@@ -115,6 +115,12 @@ def _finalize(out_s, out_i, b_real, k):
     k_eff = min(k, flat_s.shape[1])
     top_s, sel = jax.lax.top_k(flat_s, k_eff)
     top_i = jnp.take_along_axis(flat_i, sel, axis=1)
+    if k_eff < k:  # nblocks·kb < k: pad; the ceiling check then always
+        # routes through the exact fallback (kth = -inf)
+        pad_s = jnp.full((top_s.shape[0], k - k_eff), NEG_INF, jnp.float32)
+        pad_i = jnp.full((top_s.shape[0], k - k_eff), -1, jnp.int32)
+        top_s = jnp.concatenate([top_s, pad_s], axis=1)
+        top_i = jnp.concatenate([top_i, pad_i], axis=1)
     return top_s[:b_real], top_i[:b_real]
 
 
@@ -132,7 +138,7 @@ def _exact_or_fallback(out_s, top_s, top_i, b_real, k, kb, fallback):
     return jax.lax.cond(suspicious, fallback, lambda: (top_s, top_i))
 
 
-@partial(jax.jit, static_argnames=("k", "block_size", "query_block"))
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "kb"))
 def pallas_topk(
     vectors: jax.Array,  # [N, D] fp32/bf16 (rows beyond valid_n = padding)
     queries: jax.Array,  # [B, D]
@@ -140,11 +146,18 @@ def pallas_topk(
     valid_n: jax.Array | int,
     block_size: int = 1024,
     query_block: int = 256,
+    kb: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused scan top-k. Returns (scores [B, k] f32, ids [B, k] i32)."""
+    """Fused scan top-k. Returns (scores [B, k] f32, ids [B, k] i32).
+
+    ``kb`` = winners extracted per block (0 → min(k, 16)). The VPU extract
+    costs kb passes over each [QB, BS] score tile — the kernel's measured
+    bottleneck — and ANY kb is correct thanks to the ceiling check: smaller
+    kb trades extract passes for a higher (still rare) fallback probability.
+    """
     n, d = vectors.shape
     b_real = queries.shape[0]
-    kb = min(k, 16)
+    kb = kb or min(k, 16)
     qb = min(query_block, _round_up(b_real, 8))
     q = _pad_rows(queries.astype(vectors.dtype), qb)
     bp = q.shape[0]
@@ -439,7 +452,7 @@ def pallas_topk_segmax_int8(
     return _finalize(out_s, out_i, b_real, k)
 
 
-@partial(jax.jit, static_argnames=("k", "block_size", "query_block"))
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "kb"))
 def pallas_topk_int8(
     codes: jax.Array,  # [N, D] int8
     scales: jax.Array,  # [N] f32 per-row scale
@@ -448,13 +461,17 @@ def pallas_topk_int8(
     valid_n: jax.Array | int,
     block_size: int = 1024,
     query_block: int = 256,
+    kb: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused int8 scan top-k (approximate scores; pair with fp32 rescore)."""
+    """Fused int8 scan top-k (approximate scores; pair with fp32 rescore).
+
+    ``kb`` as in :func:`pallas_topk` — exact for any value via the ceiling
+    check + fallback."""
     from .quant import scalar_quantize
 
     n, d = codes.shape
     b_real = queries.shape[0]
-    kb = min(k, 16)
+    kb = kb or min(k, 16)
     q_codes, q_scales = scalar_quantize(queries)
     qb = min(query_block, _round_up(b_real, 32))  # int8 sublane tile
     q_codes = _pad_rows(q_codes, qb)

@@ -255,16 +255,22 @@ class VectorStore:
                     rescore_k=max(self.rescore_k, k),
                 )
             return sharded_topk(self._vectors, q, k, self.n, self.mesh)
-        # Measured routing (TPU v5e, 1M×384): the fused Pallas kernels win for
-        # small/medium query batches (B≤256: int8 fused 6.8ms vs XLA 9.3ms at
-        # B=64); at B≥512 XLA's top_k pipeline wins. Small corpora always use
-        # the one-matmul XLA path.
+        # Measured routing (round 2, TPU v5e, 1M×384 int8, k=64): the fused
+        # Pallas kernel with kb=4 per-block extraction + exactness fallback
+        # wins at EVERY batch size — 56 vs 67 ms at B=64, 76 vs 174 at
+        # B=512, 94 vs 294 at B=1024 — so the round-1 B≤256 condition is
+        # gone. kb≤16 is exact for k≤16; larger k stays exact through the
+        # ceiling check. Small corpora always use the one-matmul XLA path.
         on_tpu = jax.default_backend() == "tpu"
-        b = q.shape[0]
-        use_pallas = on_tpu and b <= 256
+        use_pallas = on_tpu
+
+        def pick_kb(k_req: int) -> int:
+            return min(k_req, 16) if k_req <= 16 else 4
+
         if self.format in ("fp32", "bf16"):
             if use_pallas and self._vectors.shape[0] >= 4 * self.block_size:
-                s, i = pallas_topk(self._vectors, q, k, self.n, self.block_size)
+                s, i = pallas_topk(self._vectors, q, k, self.n, self.block_size,
+                                   kb=pick_kb(k))
             elif self._vectors.shape[0] > 65536:
                 s, i = blockwise_topk(self._vectors, q, k, self.n)
             else:
@@ -273,7 +279,8 @@ class VectorStore:
             if use_pallas and self._codes.shape[0] >= 4 * self.block_size:
                 cand_k = min(max(self.rescore_k, k), self.n)
                 _, cand = pallas_topk_int8(
-                    self._codes, self._scales, q, cand_k, self.n, self.block_size
+                    self._codes, self._scales, q, cand_k, self.n, self.block_size,
+                    kb=pick_kb(cand_k),
                 )
                 s, i = _rescore(self._codes, self._scales, q, cand, k, self.n)
             else:

@@ -125,3 +125,38 @@ def test_export_cli(result_dirs, capsys):
 
     assert main(result_dirs + ["--format", "markdown", "--metrics", "perplexity"]) == 0
     assert "| model |" in capsys.readouterr().out
+
+
+def test_exporter_worst_cell_highlighting(result_dirs):
+    ex = ResultsExporter.from_directories(result_dirs)
+    html = ex.to_html(metrics=["latency_ms_per_token", "f1_score"])
+    assert 'class="best"' in html and 'class="worst"' in html
+
+
+def test_visualizer_domain_layouts(tmp_path):
+    pytest.importorskip("matplotlib")
+    from crs_tpu.evaluation.visualizer import ResultsVisualizer
+
+    results = {
+        "m_fp32": {"metrics": {
+            "latency_ms_per_token": 10.0, "throughput_tokens_per_sec": 100.0,
+            "perplexity": 12.0, "average_accuracy": 0.6,
+            "context_sufficiency": 0.8, "context_precision": 0.6,
+            "context_coverage": 0.7, "avg_retrieval_time_ms": 2.0,
+            "tasks": {"arc_easy": {"score": 0.7}, "boolq": {"score": 0.6}},
+        }},
+        "m_int8": {"metrics": {
+            "latency_ms_per_token": 6.0, "throughput_tokens_per_sec": 160.0,
+            "perplexity": 12.5, "average_accuracy": 0.58,
+            "context_sufficiency": 0.78, "context_precision": 0.61,
+            "context_coverage": 0.69, "avg_retrieval_time_ms": 1.2,
+            "tasks": {"arc_easy": {"score": 0.68}, "boolq": {"score": 0.59}},
+        }},
+    }
+    v = ResultsVisualizer(results, out_dir=str(tmp_path))
+    eff = v.plot_efficiency()
+    assert eff and all(os.path.exists(p) for p in eff)
+    perf = v.plot_performance()
+    assert len(perf) == 2  # panel + per-task grouped bars
+    retr = v.plot_retrieval()
+    assert len(retr) == 2  # panel + context-quality triplet
