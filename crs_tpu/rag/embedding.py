@@ -54,6 +54,25 @@ def _bucket_len(n: int) -> int:
     return _BUCKETS[-1]
 
 
+def _csr_to_padded(indices, weights, offsets, rows: int, k: int):
+    """Vectorized CSR → padded [rows, k] (idx, w); features beyond k are
+    dropped per row. A per-row Python loop here measured as a visible slice
+    of batch-serving latency at B≈328."""
+    n_texts = len(offsets) - 1
+    lens = np.minimum(offsets[1:] - offsets[:-1], k)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    total = int(cum[-1])
+    idx = np.zeros((rows, k), np.int32)
+    w = np.zeros((rows, k), np.float32)
+    if total:
+        row_of = np.repeat(np.arange(n_texts), lens)
+        pos_in_row = np.arange(total) - np.repeat(cum[:-1], lens)
+        src = np.repeat(offsets[:-1], lens) + pos_in_row
+        idx[row_of, pos_in_row] = indices[src]
+        w[row_of, pos_in_row] = weights[src]
+    return idx, w
+
+
 class HashedEncoder:
     """Feature-hashing + fixed random projection sentence encoder."""
 
@@ -106,13 +125,7 @@ class HashedEncoder:
         )
         nnz = int(np.max(offsets[1:] - offsets[:-1])) if len(offsets) > 1 else 1
         k = next((bk for bk in self._NNZ_BUCKETS if nnz <= bk), self._NNZ_BUCKETS[-1])
-        idx = np.zeros((rows, k), np.int32)
-        w = np.zeros((rows, k), np.float32)
-        for row in range(len(texts)):
-            lo, hi = int(offsets[row]), int(offsets[row + 1])
-            n = min(hi - lo, k)
-            idx[row, :n] = indices[lo : lo + n]
-            w[row, :n] = weights[lo : lo + n]
+        idx, w = _csr_to_padded(indices, weights, offsets, rows, k)
         return self._project_sparse(jnp.asarray(idx), jnp.asarray(w))[: len(texts)]
 
     def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
@@ -253,13 +266,7 @@ class LexicalLSAEncoder:
             offsets = np.zeros(rows + 1, np.int64)
         nnz = int(np.max(offsets[1:] - offsets[:-1])) if len(offsets) > 1 else 1
         k = next((bk for bk in self._NNZ_BUCKETS if nnz <= bk), self._NNZ_BUCKETS[-1])
-        idx = np.zeros((rows, k), np.int32)
-        w = np.zeros((rows, k), np.float32)
-        for row in range(len(texts)):
-            lo, hi = int(offsets[row]), int(offsets[row + 1])
-            m = min(hi - lo, k)
-            idx[row, :m] = indices[lo : lo + m]
-            w[row, :m] = weights[lo : lo + m]
+        idx, w = _csr_to_padded(indices, weights, offsets, rows, k)
         return self._project_sparse(jnp.asarray(idx), jnp.asarray(w))[: len(texts)]
 
     def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
