@@ -105,6 +105,7 @@ class JaxModel(ModelInterface):
         self.config_name = config.get("config", "tiny")
         self.model_path = config.get("model_path")
         self.quantization: Optional[str] = config.get("quantization")  # None|int8|int4
+        self.kv_bits = int(config.get("kv_bits", 16))  # 8 → int8 KV cache
         self.group_size = int(config.get("group_size", 128))
         self.seed = int(config.get("seed", 0))
         self.max_seq_len = int(config.get("max_seq_len", 2048))
@@ -151,6 +152,10 @@ class JaxModel(ModelInterface):
             self.params = init_params(jax.random.PRNGKey(self.seed), self.cfg)
             self.tokenizer = ByteTokenizer()
             logger.info("JaxModel: random init (%s, seed=%d)", self.config_name, self.seed)
+        if self.kv_bits != 16:
+            import dataclasses as _dc
+
+            self.cfg = _dc.replace(self.cfg, kv_bits=self.kv_bits)
         if self.quantization in ("int8", "int4", "int3", "int2"):
             bits = int(self.quantization[3:])
             self.params = quantize_params(self.params, bits=bits, group_size=self.group_size)

@@ -197,8 +197,19 @@ def qmatmul(x: jax.Array, w: Any) -> jax.Array:
             x2 = xf.reshape(-1, xf.shape[-1])
             out = _int8_act_matmul(x2, w.codes, w.scales)
             return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
-        # int4 group-wise: unpack+dequantize into the GEMM (XLA fuses; fully
-        # differentiable through x since codes are constants).
+        if w.bits == 4:
+            from ..ops.qgemm import q4_matmul, q4_pallas_supported
+
+            x2 = x.reshape(-1, x.shape[-1])
+            k2, n = w.codes.shape
+            if q4_pallas_supported(x2.shape[0], k2, n, w.scales.shape[0]):
+                # decode-sized row counts: fused Pallas kernel — HBM reads
+                # only the packed nibbles (half the int8 path's bytes)
+                out = q4_matmul(x2, w.codes, w.scales)
+                return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
+        # int4 group-wise at large row counts (MXU-bound — unpack+dequantize
+        # into the GEMM, XLA fuses) and int2/int3: dequantized dot; fully
+        # differentiable through x since codes are constants.
         return jnp.dot(x, w.dequantize().astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     return jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
 

@@ -30,7 +30,7 @@ from .quantized import qmatmul
 
 Params = Dict[str, Any]
 
-__all__ = ["TransformerConfig", "CONFIGS", "init_params", "forward", "forward_captured", "init_cache", "decode_step", "KVCache"]
+__all__ = ["TransformerConfig", "CONFIGS", "init_params", "forward", "forward_captured", "init_cache", "decode_step", "KVCache", "QuantKVCache"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +46,10 @@ class TransformerConfig:
     rms_eps: float = 1e-5
     tie_embeddings: bool = False
     dtype: Any = jnp.bfloat16
+    # KV-cache precision: 16 (bf16) or 8 (int8 codes + per-vector scales,
+    # decoded through the fused Pallas attention kernel — halves the
+    # decode-time cache-read bytes; see crs_tpu.ops.decode_attention)
+    kv_bits: int = 16
 
     @property
     def head_dim(self) -> int:
@@ -79,6 +83,18 @@ class KVCache(NamedTuple):
     v: jax.Array  # [L, B, S_max, H_kv, hd]
     mask: jax.Array  # [B, S_max] bool — which cache slots hold real tokens
     length: jax.Array  # [] int32 — tokens currently in cache
+
+
+class QuantKVCache(NamedTuple):
+    """int8 KV cache (cfg.kv_bits == 8), sequence-major per head so the
+    fused decode-attention kernel's per-(batch, head) DMA is contiguous."""
+
+    k_codes: jax.Array  # [L, B, H_kv, S_max, hd] int8
+    k_scales: jax.Array  # [L, B, H_kv, S_max] f32 (per-vector symmetric)
+    v_codes: jax.Array  # [L, B, H_kv, S_max, hd] int8
+    v_scales: jax.Array  # [L, B, H_kv, S_max] f32
+    mask: jax.Array  # [B, S_max] bool
+    length: jax.Array  # [] int32
 
 
 def _np_seed(key) -> int:
@@ -160,6 +176,17 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
 
 
+def _project_qkv(x: jax.Array, p: Params, cfg: TransformerConfig, positions: jax.Array):
+    """QKV projections + rotary embedding: q [B,S,H,hd], k/v [B,S,Hkv,hd]."""
+    b, s, _ = x.shape
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = qmatmul(x, p["q"]).reshape(b, s, h, hd)
+    k = qmatmul(x, p["k"]).reshape(b, s, hkv, hd)
+    v = qmatmul(x, p["v"]).reshape(b, s, hkv, hd)
+    cos, sin = _rope_angles(positions, hd, cfg.rope_theta)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
 def _attention(
     x: jax.Array,  # [B, S, D]
     p: Params,
@@ -172,12 +199,7 @@ def _attention(
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     b, s, d = x.shape
     h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = qmatmul(x, p["q"]).reshape(b, s, h, hd)
-    k = qmatmul(x, p["k"]).reshape(b, s, hkv, hd)
-    v = qmatmul(x, p["v"]).reshape(b, s, hkv, hd)
-    cos, sin = _rope_angles(positions, hd, cfg.rope_theta)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q, k, v = _project_qkv(x, p, cfg, positions)
 
     if cache_kv is not None:
         ck, cv = cache_kv
@@ -234,6 +256,66 @@ def _block(x, layer, cfg, positions, cache_kv, cache_len, key_valid=None,
     return x, new_cache
 
 
+def _mlp_res(x: jax.Array, layer: Params, cfg: TransformerConfig) -> jax.Array:
+    hmlp = rms_norm(x, layer["mlp_norm"]["scale"], cfg.rms_eps)
+    gate = jax.nn.silu(qmatmul(hmlp, layer["mlp"]["gate"]))
+    up = qmatmul(hmlp, layer["mlp"]["up"])
+    return qmatmul(gate * up, layer["mlp"]["down"])
+
+
+def _quant_store_rows(kc, ks, vc, vs, k_new, v_new, cache_len):
+    """Quantize fresh [B, S, Hkv, hd] k/v rows and write them into the
+    sequence-major int8 cache arrays at ``cache_len``."""
+    from ..ops.decode_attention import quantize_kv_rows
+
+    k_t = k_new.transpose(0, 2, 1, 3)  # [B, Hkv, S, hd]
+    v_t = v_new.transpose(0, 2, 1, 3)
+    kq, ksc = quantize_kv_rows(k_t)
+    vq, vsc = quantize_kv_rows(v_t)
+    kc = jax.lax.dynamic_update_slice(kc, kq, (0, 0, cache_len, 0))
+    ks = jax.lax.dynamic_update_slice(ks, ksc, (0, 0, cache_len))
+    vc = jax.lax.dynamic_update_slice(vc, vq, (0, 0, cache_len, 0))
+    vs = jax.lax.dynamic_update_slice(vs, vsc, (0, 0, cache_len))
+    return kc, ks, vc, vs
+
+
+def _block_kvq_prefill(x, layer, cfg, positions, kc, ks, vc, vs, cache_len, key_valid):
+    """Prefill through an int8 cache: past rows are dequantized into the
+    bf16 attention layout (prefill is MXU-bound — the extra traffic is
+    amortized over the whole prompt), new rows are stored quantized."""
+    b, s, _ = x.shape
+    kd = (kc.astype(jnp.float32) * ks[..., None]).astype(x.dtype).transpose(0, 2, 1, 3)
+    vd = (vc.astype(jnp.float32) * vs[..., None]).astype(x.dtype).transpose(0, 2, 1, 3)
+    x, (ck, cv) = _block(x, layer, cfg, positions, (kd, vd), cache_len, key_valid)
+    hkv, hd = cfg.num_kv_heads, cfg.head_dim
+    k_new = jax.lax.dynamic_slice(ck, (0, cache_len, 0, 0), (b, s, hkv, hd))
+    v_new = jax.lax.dynamic_slice(cv, (0, cache_len, 0, 0), (b, s, hkv, hd))
+    return x, _quant_store_rows(kc, ks, vc, vs, k_new, v_new, cache_len)
+
+
+def _block_kvq_decode(x, layer, cfg, positions, kc, ks, vc, vs, cache_len, valid):
+    """One decode token through the fused int8-KV attention kernel."""
+    from ..ops.decode_attention import (
+        decode_attention_int8,
+        decode_attention_supported,
+        emulate_decode_attention_int8,
+    )
+
+    b, s, _ = x.shape  # s == 1
+    h, hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    xn = rms_norm(x, layer["attn_norm"]["scale"], cfg.rms_eps)
+    q, k_new, v_new = _project_qkv(xn, layer["attn"], cfg, positions)
+    kc, ks, vc, vs = _quant_store_rows(kc, ks, vc, vs, k_new, v_new, cache_len)
+    qh = q.reshape(b, hkv, h // hkv, hd)  # head h = kv·group + g (GQA split)
+    attn = decode_attention_int8 if decode_attention_supported(hd, kc.shape[3]) \
+        else emulate_decode_attention_int8
+    ctx = attn(qh, kc, ks, vc, vs, valid)  # [B, Hkv, G, hd] f32
+    a = qmatmul(ctx.reshape(b, 1, h * hd).astype(x.dtype), layer["attn"]["o"])
+    x = x + a
+    x = x + _mlp_res(x, layer, cfg)
+    return x, (kc, ks, vc, vs)
+
+
 def forward_captured(
     params: Params, cfg: TransformerConfig, ids: jax.Array,
     attn_mask: Optional[jax.Array] = None,
@@ -277,7 +359,18 @@ def forward(
     return _logits(x, params, cfg)
 
 
-def init_cache(cfg: TransformerConfig, batch: int, max_len: int) -> KVCache:
+def init_cache(cfg: TransformerConfig, batch: int, max_len: int):
+    if cfg.kv_bits == 8:
+        s = -(-max_len // 128) * 128  # lane-align for the fused kernel
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, s, cfg.head_dim)
+        return QuantKVCache(
+            k_codes=jnp.zeros(shape, jnp.int8),
+            k_scales=jnp.zeros(shape[:-1], jnp.float32),
+            v_codes=jnp.zeros(shape, jnp.int8),
+            v_scales=jnp.zeros(shape[:-1], jnp.float32),
+            mask=jnp.zeros((batch, s), jnp.bool_),
+            length=jnp.zeros((), jnp.int32),
+        )
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
     return KVCache(
         k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype),
@@ -304,9 +397,26 @@ def prefill(
     if attn_mask is None:
         attn_mask = jnp.ones((b, s), jnp.bool_)
     new_mask = jax.lax.dynamic_update_slice(cache.mask, attn_mask, (0, cache.length))
-    key_valid = jax.lax.dynamic_update_slice(
-        cache.mask, attn_mask, (0, cache.length)
-    )
+    key_valid = new_mask
+    if isinstance(cache, QuantKVCache):
+        slabs = []
+        for li, layer in enumerate(params["layers"]):
+            x, slab = _block_kvq_prefill(
+                x, layer, cfg, positions,
+                cache.k_codes[li], cache.k_scales[li],
+                cache.v_codes[li], cache.v_scales[li],
+                cache.length, key_valid,
+            )
+            slabs.append(slab)
+        x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+        logits = _logits(x, params, cfg)
+        return logits, QuantKVCache(
+            k_codes=jnp.stack([t[0] for t in slabs]),
+            k_scales=jnp.stack([t[1] for t in slabs]),
+            v_codes=jnp.stack([t[2] for t in slabs]),
+            v_scales=jnp.stack([t[3] for t in slabs]),
+            mask=new_mask, length=cache.length + s,
+        )
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
         x, kv = _block(
@@ -332,6 +442,25 @@ def decode_step(
     new_mask = jax.lax.dynamic_update_slice(
         cache.mask, jnp.ones((b, 1), jnp.bool_), (0, cache.length)
     )
+    if isinstance(cache, QuantKVCache):
+        slabs = []
+        for li, layer in enumerate(params["layers"]):
+            x, slab = _block_kvq_decode(
+                x, layer, cfg, positions,
+                cache.k_codes[li], cache.k_scales[li],
+                cache.v_codes[li], cache.v_scales[li],
+                cache.length, new_mask,
+            )
+            slabs.append(slab)
+        x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_eps)
+        logits = _logits(x, params, cfg)[:, 0, :]
+        return logits, QuantKVCache(
+            k_codes=jnp.stack([t[0] for t in slabs]),
+            k_scales=jnp.stack([t[1] for t in slabs]),
+            v_codes=jnp.stack([t[2] for t in slabs]),
+            v_scales=jnp.stack([t[3] for t in slabs]),
+            mask=new_mask, length=cache.length + 1,
+        )
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):
         x, kv = _block(

@@ -1,0 +1,136 @@
+"""Fused decode attention over an int8-quantized KV cache.
+
+At decode, attention is pure HBM bandwidth: every step reads the whole KV
+cache once. Quantizing the cache to int8 halves those bytes — but only if
+nothing ever materializes the dequantized cache, which XLA would do (the
+``convert+mul`` on a [B, S, Hkv, hd] operand becomes an HBM round trip that
+*adds* 1.5x traffic). This kernel keeps the win: each (batch, kv-head) grid
+cell DMAs the packed codes straight into VMEM and dequantizes on the fly.
+
+Scales factor out of both contractions, so the kernel never multiplies a
+[S, hd] dequant buffer:
+
+    scores[g, s] = (q_g · k_s_int) · k_scale_s          (scale the [G, S] scores)
+    ctx[g, :]    = Σ_s (softmax_g,s · v_scale_s) · v_s_int  (scale the [G, S] probs)
+
+leaving the VPU cost at two int8→bf16 casts (1 op/byte, fully overlapped
+with the DMA stream). The whole sequence fits VMEM (S·hd ≤ 4096·128 int8 =
+512 KB for K+V), so softmax is single-pass — no online rescaling needed.
+
+Cache layout is [B, Hkv, S, hd] (sequence-major per head) so each grid
+cell's DMA is one contiguous block, not S separate 128-byte rows.
+
+The reference has no analog (HF attention on CUDA); this is the
+TPU-idiomatic equivalent of GPU flash-decode + KV-quant serving kernels.
+On non-TPU backends the kernel runs in Pallas interpret mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "decode_attention_int8",
+    "decode_attention_supported",
+    "emulate_decode_attention_int8",
+    "quantize_kv_rows",
+]
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-vector symmetric int8: x [..., hd] → (codes int8, scales f32 [...])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scales = jnp.maximum(amax, 1e-12) / 127.0
+    codes = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scales[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scales
+
+
+def decode_attention_supported(head_dim: int, seq: int) -> bool:
+    """Lane-alignment gate: hd and S must be 128-aligned (true for the
+    flagship configs; tiny test configs route to the XLA emulation)."""
+    return head_dim % 128 == 0 and seq % 128 == 0
+
+
+def _decode_attn_kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, valid_ref, out_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.bfloat16)  # [G, hd]
+    k = kc_ref[0, 0].astype(jnp.bfloat16)  # [S, hd]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [G, S]
+    scores = scores * (ks_ref[0, 0] * scale)[None, :]
+    ok = valid_ref[0, :] != 0  # [S]
+    scores = jnp.where(ok[None, :], scores, NEG_INF)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    e = jnp.exp(scores - m)
+    e = jnp.where(ok[None, :], e, 0.0)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    probs = e / jnp.maximum(l, 1e-30)  # [G, S]
+    pv = (probs * vs_ref[0, 0][None, :]).astype(jnp.bfloat16)
+    v = vc_ref[0, 0].astype(jnp.bfloat16)  # [S, hd]
+    ctx = jnp.dot(pv, v, preferred_element_type=jnp.float32)  # [G, hd]
+    out_ref[0, 0] = ctx
+
+
+@partial(jax.jit, static_argnames=())
+def decode_attention_int8(
+    q: jax.Array,  # [B, Hkv, G, hd] (rope applied, NOT pre-scaled)
+    k_codes: jax.Array,  # [B, Hkv, S, hd] int8
+    k_scales: jax.Array,  # [B, Hkv, S] f32
+    v_codes: jax.Array,  # [B, Hkv, S, hd] int8
+    v_scales: jax.Array,  # [B, Hkv, S] f32
+    valid: jax.Array,  # [B, S] int8/bool — slots holding real tokens
+) -> jax.Array:
+    """Single-token decode attention. Returns ctx [B, Hkv, G, hd] f32."""
+    b, hkv, g, hd = q.shape
+    s = k_codes.shape[2]
+    sm_scale = float(1.0 / (hd ** 0.5))
+    valid8 = valid.astype(jnp.int8)
+    out = pl.pallas_call(
+        partial(_decode_attn_kernel, scale=sm_scale),
+        grid=(b, hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, g, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, hd), jnp.float32),
+        interpret=_interpret(),
+    )(q, k_codes, k_scales, v_codes, v_scales, valid8)
+    return out
+
+
+def emulate_decode_attention_int8(q, k_codes, k_scales, v_codes, v_scales, valid):
+    """XLA emulation with identical arithmetic (bf16 casts, f32 softmax) —
+    the parity oracle for tests and the fallback for non-128-aligned dims."""
+    hd = q.shape[-1]
+    qb = q.astype(jnp.bfloat16)
+    k = k_codes.astype(jnp.bfloat16)
+    scores = jnp.einsum("bhgd,bhsd->bhgs", qb, k, preferred_element_type=jnp.float32)
+    scores = scores * (k_scales[:, :, None, :] * (1.0 / (hd ** 0.5)))
+    ok = (valid != 0)[:, None, None, :]
+    scores = jnp.where(ok, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.where(ok, jnp.exp(scores - m), 0.0)
+    probs = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    pv = (probs * v_scales[:, :, None, :]).astype(jnp.bfloat16)
+    v = v_codes.astype(jnp.bfloat16)
+    return jnp.einsum("bhgs,bhsd->bhgd", pv, v, preferred_element_type=jnp.float32)
