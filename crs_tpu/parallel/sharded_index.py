@@ -50,12 +50,12 @@ def shard_corpus(
 
 
 @partial(jax.jit, static_argnames=("k", "axis_name", "mesh"))
-def _sharded_topk_impl(vectors, queries, valid_n, k: int, mesh: Mesh, axis_name: str):
+def _sharded_topk_impl(vectors, queries, valid_n, row_mask, k: int, mesh: Mesh, axis_name: str):
     num_shards = mesh.shape[axis_name]
     per_shard = vectors.shape[0] // num_shards
 
-    def local_scan(v_local, q, valid):
-        # v_local: [per_shard, D]; q replicated [B, D]
+    def local_scan(v_local, q, valid, mask_local):
+        # v_local: [per_shard, D]; q replicated [B, D]; mask_local [per_shard]
         shard_idx = jax.lax.axis_index(axis_name)
         offset = shard_idx * per_shard
         scores = jnp.dot(
@@ -65,7 +65,7 @@ def _sharded_topk_impl(vectors, queries, valid_n, k: int, mesh: Mesh, axis_name:
             precision=jax.lax.Precision.HIGHEST,
         )  # [B, per_shard]
         local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, per_shard), 1) + offset
-        scores = jnp.where(local_ids < valid, scores, NEG_INF)
+        scores = jnp.where((local_ids < valid) & mask_local[None, :], scores, NEG_INF)
         k_local = min(k, per_shard)
         s, i = jax.lax.top_k(scores, k_local)
         gids = jnp.take_along_axis(jnp.broadcast_to(local_ids, scores.shape), i, axis=1)
@@ -82,10 +82,10 @@ def _sharded_topk_impl(vectors, queries, valid_n, k: int, mesh: Mesh, axis_name:
     return jax.shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(), P()),
+        in_specs=(P(axis_name, None), P(), P(), P(axis_name)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(vectors, queries, valid_n)
+    )(vectors, queries, valid_n, row_mask)
 
 
 def sharded_topk(
@@ -95,18 +95,21 @@ def sharded_topk(
     valid_n: int,
     mesh: Mesh,
     axis_name: str = "corpus",
+    row_mask=None,  # [Np] bool — metadata `where` filter (None → all rows)
 ) -> Tuple[jax.Array, jax.Array]:
     """Global exact top-k over the sharded corpus. Returns ([B,k], [B,k])."""
     valid = jnp.asarray(valid_n, jnp.int32)
-    return _sharded_topk_impl(vectors, queries, valid, k, mesh, axis_name)
+    if row_mask is None:
+        row_mask = jnp.ones((vectors.shape[0],), jnp.bool_)
+    return _sharded_topk_impl(vectors, queries, valid, row_mask, k, mesh, axis_name)
 
 
 @partial(jax.jit, static_argnames=("k", "rescore_k", "axis_name", "mesh"))
-def _sharded_topk_int8_impl(codes, scales, queries, valid_n, k: int, rescore_k: int, mesh: Mesh, axis_name: str):
+def _sharded_topk_int8_impl(codes, scales, queries, valid_n, row_mask, k: int, rescore_k: int, mesh: Mesh, axis_name: str):
     num_shards = mesh.shape[axis_name]
     per_shard = codes.shape[0] // num_shards
 
-    def local_scan(c_local, s_local, q, valid):
+    def local_scan(c_local, s_local, q, valid, mask_local):
         # c_local [per_shard, D] int8, s_local [per_shard] f32, q [B, D] f32
         shard_idx = jax.lax.axis_index(axis_name)
         offset = shard_idx * per_shard
@@ -121,14 +124,15 @@ def _sharded_topk_int8_impl(codes, scales, queries, valid_n, k: int, rescore_k: 
         )
         approx = acc.astype(jnp.float32) * qs * s_local[None, :]
         local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, per_shard), 1) + offset
-        approx = jnp.where(local_ids < valid, approx, NEG_INF)
+        allowed = (local_ids < valid) & mask_local[None, :]
+        approx = jnp.where(allowed, approx, NEG_INF)
         cand_k = min(rescore_k, per_shard)
         _, cand = jax.lax.top_k(approx, cand_k)  # [B, cand_k] local row idx
         # exact fp32 rescore of local candidates (dequantized)
         cand_vecs = c_local[cand].astype(jnp.float32) * s_local[cand][..., None]
         exact = jnp.einsum("bd,bcd->bc", q, cand_vecs, preferred_element_type=jnp.float32)
         gids = cand + offset
-        exact = jnp.where(gids < valid, exact, NEG_INF)
+        exact = jnp.where((gids < valid) & mask_local[cand], exact, NEG_INF)
         k_local = min(k, cand_k)
         s_top, sel = jax.lax.top_k(exact, k_local)
         i_top = jnp.take_along_axis(gids, sel, axis=1)
@@ -143,10 +147,10 @@ def _sharded_topk_int8_impl(codes, scales, queries, valid_n, k: int, rescore_k: 
     return jax.shard_map(
         local_scan,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name), P(), P()),
+        in_specs=(P(axis_name, None), P(axis_name), P(), P(), P(axis_name)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(codes, scales, queries, valid_n)
+    )(codes, scales, queries, valid_n, row_mask)
 
 
 def sharded_topk_int8(
@@ -158,23 +162,26 @@ def sharded_topk_int8(
     mesh: Mesh,
     rescore_k: int = 64,
     axis_name: str = "corpus",
+    row_mask=None,  # [Np] bool — metadata `where` filter (None → all rows)
 ) -> Tuple[jax.Array, jax.Array]:
     """Sharded int8 scan: per-shard MXU int8 approx → local fp32 rescore →
     allgather + global merge (the compressed multi-chip retrieval path)."""
     valid = jnp.asarray(valid_n, jnp.int32)
-    return _sharded_topk_int8_impl(codes, scales, queries, valid, k, rescore_k, mesh, axis_name)
+    if row_mask is None:
+        row_mask = jnp.ones((codes.shape[0],), jnp.bool_)
+    return _sharded_topk_int8_impl(codes, scales, queries, valid, row_mask, k, rescore_k, mesh, axis_name)
 
 
 @partial(jax.jit, static_argnames=("k", "rescore_k", "axis_name", "mesh"))
 def _sharded_topk_rpq_impl(
     rotation, coarse, centroids, coarse_ids, pq_codes, i8_codes, i8_scales,
-    queries, valid_n, k: int, rescore_k: int, mesh: Mesh, axis_name: str,
+    queries, valid_n, row_mask, k: int, rescore_k: int, mesh: Mesh, axis_name: str,
 ):
     num_shards = mesh.shape[axis_name]
     per_shard = pq_codes.shape[0] // num_shards
     m = pq_codes.shape[1]
 
-    def local_scan(rot, crs, cents, cid_l, pq_l, c_l, s_l, q, valid):
+    def local_scan(rot, crs, cents, cid_l, pq_l, c_l, s_l, q, valid, mask_local):
         # cid_l [per], pq_l [per, M], c_l [per, D] int8, s_l [per], q [B, D]
         shard_idx = jax.lax.axis_index(axis_name)
         offset = shard_idx * per_shard
@@ -187,14 +194,14 @@ def _sharded_topk_rpq_impl(
         for mi in range(m):
             scores = scores + lut[:, mi, :][:, pq_l[:, mi]]
         local_ids = jax.lax.broadcasted_iota(jnp.int32, (1, per_shard), 1) + offset
-        scores = jnp.where(local_ids < valid, scores, NEG_INF)
+        scores = jnp.where((local_ids < valid) & mask_local[None, :], scores, NEG_INF)
         cand_k = min(rescore_k, per_shard)
         _, cand = jax.lax.top_k(scores, cand_k)
         # exact-ish local rescore against the ORIGINAL-space int8 codes
         cand_vecs = c_l[cand].astype(jnp.float32) * s_l[cand][..., None]
         exact = jnp.einsum("bd,bcd->bc", q, cand_vecs, preferred_element_type=jnp.float32)
         gids = cand + offset
-        exact = jnp.where(gids < valid, exact, NEG_INF)
+        exact = jnp.where((gids < valid) & mask_local[cand], exact, NEG_INF)
         k_local = min(k, cand_k)
         s_top, sel = jax.lax.top_k(exact, k_local)
         i_top = jnp.take_along_axis(gids, sel, axis=1)
@@ -210,11 +217,11 @@ def _sharded_topk_rpq_impl(
         mesh=mesh,
         in_specs=(P(), P(), P(),
                   P(axis_name), P(axis_name, None), P(axis_name, None), P(axis_name),
-                  P(), P()),
+                  P(), P(), P(axis_name)),
         out_specs=(P(), P()),
         check_vma=False,
     )(rotation, coarse, centroids, coarse_ids, pq_codes, i8_codes, i8_scales,
-      queries, valid_n)
+      queries, valid_n, row_mask)
 
 
 def sharded_topk_residual_pq(
@@ -229,13 +236,16 @@ def sharded_topk_residual_pq(
     mesh: Mesh,
     rescore_k: int = 64,
     axis_name: str = "corpus",
+    row_mask=None,  # [Np] bool — metadata `where` filter (None → all rows)
 ) -> Tuple[jax.Array, jax.Array]:
     """Sharded residual-PQ scan (VERDICT r1 #4: pq in the mesh store):
     per-shard coarse+residual ADC → local int8 rescore → allgather merge.
     Codebooks/rotation are replicated (small); only the per-row codes shard."""
     valid = jnp.asarray(valid_n, jnp.int32)
+    if row_mask is None:
+        row_mask = jnp.ones((pq_codes.shape[0],), jnp.bool_)
     return _sharded_topk_rpq_impl(
         rpq.rotation, rpq.coarse, rpq.codebook.centroids,
         coarse_ids, pq_codes, i8_codes, i8_scales,
-        queries, valid, k, rescore_k, mesh, axis_name,
+        queries, valid, row_mask, k, rescore_k, mesh, axis_name,
     )

@@ -109,3 +109,63 @@ def test_fused_path_keeps_where_fused():
     assert all(hit["metadata"]["topic"] == "alpha" for hit in out[0])
     out2 = r.retrieve_batch_fused(["alpha subject information"], where={"topic": "beta"})
     assert all(hit["metadata"]["topic"] == "beta" for hit in out2[0])
+
+
+@pytest.mark.parametrize("fmt", ["fp32", "int8", "pq"])
+def test_mesh_masked_search_matches_bruteforce(fmt):
+    """`where` on the mesh-sharded store goes through the format-native
+    sharded scans (no full-corpus densify) and matches brute force."""
+    import jax.numpy as jnp
+
+    from crs_tpu.parallel.mesh import corpus_mesh
+    from crs_tpu.rag.index import VectorStore
+
+    mesh = corpus_mesh(8)
+    rng = np.random.default_rng(3)
+    n, dim = 400, 32
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    chunks = [_Chunk(i, "alpha" if i % 3 == 0 else "beta") for i in range(n)]
+    kw = {"pq_subspaces": 8, "pq_iters": 5} if fmt == "pq" else {}
+    store = VectorStore({"format": fmt, "block_size": 64, **kw}, mesh=mesh)
+    store.create_index(chunks, emb)
+    q = rng.standard_normal((4, dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    scores, ids = store.search_batch(q, top_k=5, where={"topic": "alpha"})
+    allowed = {i for i in range(n) if i % 3 == 0}
+    assert all(i in allowed for row in ids for i in row if i >= 0)
+    if fmt in ("fp32", "int8"):  # exact formats: exact masked ranking
+        ref = q @ emb.T
+        neg = np.full(n, -np.inf)
+        neg[list(allowed)] = 0.0
+        ref_top = np.argsort(-(ref + neg[None, :]), axis=1)[:, :5]
+        assert [set(r) for r in ids] == [set(r) for r in ref_top]
+
+
+def test_mesh_masked_search_no_densify():
+    """The sharded int8 masked search must not call _dense_vectors."""
+    from crs_tpu.parallel.mesh import corpus_mesh
+    from crs_tpu.rag import index as index_mod
+    from crs_tpu.rag.index import VectorStore
+
+    mesh = corpus_mesh(8)
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((512, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    chunks = [_Chunk(i, "alpha" if i % 3 == 0 else "beta") for i in range(512)]
+    store = VectorStore({"format": "int8", "block_size": 64}, mesh=mesh)
+    store.create_index(chunks, emb)
+    called = {"dense": False}
+    orig = index_mod.VectorStore._dense_vectors
+
+    def spy(self):
+        called["dense"] = True
+        return orig(self)
+
+    index_mod.VectorStore._dense_vectors = spy
+    try:
+        q = rng.standard_normal((2, 32)).astype(np.float32)
+        store.search_batch(q, top_k=3, where={"topic": "beta"})
+    finally:
+        index_mod.VectorStore._dense_vectors = orig
+    assert not called["dense"]
