@@ -14,7 +14,9 @@ Replaces the reference's sentence-transformers wrapper
   L2-normalized. Fully deterministic, no trained artifacts.
 - ``lexical`` — the corpus-fitted upgrade (the zero-egress quality default):
   word uni/bi-grams + char 3/4-grams, BM25×IDF weighting fitted on the
-  indexed corpus, and an LSA projection (top right-singular vectors of the
+  indexed corpus (with a bigram-IDF cap: a bigram's IDF never exceeds the
+  sum of its components', so stopword pairs like "and how" can't outscore
+  entity terms), and an LSA projection (top right-singular vectors of the
   weighted corpus matrix, computed via the Gram trick with the matmuls on
   the MXU) instead of a random projection. For corpora with ≤dim chunks the
   LSA projection preserves the EXACT sparse BM25 cosine ranking (the doc
@@ -132,6 +134,33 @@ class HashedEncoder:
         return np.asarray(self.encode_dev(texts, pad_to))
 
 
+def _concat_csr_rows(a, b):
+    """Row-wise concatenation of two CSR triples over the same rows
+    (vectorized — per-row Python loops measured as a visible slice of
+    batch-serving latency, see _csr_to_padded)."""
+    ai, aw, ao = a
+    bi, bw, bo = b
+    lens_a = ao[1:] - ao[:-1]
+    lens_b = bo[1:] - bo[:-1]
+    out_off = np.zeros(len(ao), np.int64)
+    np.cumsum(lens_a + lens_b, out=out_off[1:])
+    total = int(out_off[-1])
+    idx = np.empty(total, ai.dtype if len(ai) else np.int64)
+    w = np.empty(total, np.float32)
+    if len(ai):
+        dest_a = np.repeat(out_off[:-1], lens_a) + (np.arange(len(ai)) - np.repeat(ao[:-1], lens_a))
+        idx[dest_a] = ai
+        w[dest_a] = aw
+    if len(bi):
+        dest_b = (
+            np.repeat(out_off[:-1] + lens_a, lens_b)
+            + (np.arange(len(bi)) - np.repeat(bo[:-1], lens_b))
+        )
+        idx[dest_b] = bi
+        w[dest_b] = bw
+    return idx, w, out_off
+
+
 class LexicalLSAEncoder:
     """Corpus-fitted lexical encoder: BM25×IDF weighting + LSA projection.
 
@@ -146,12 +175,14 @@ class LexicalLSAEncoder:
     def __init__(
         self,
         dim: int = 384,
-        num_features: int = 32768,
+        num_features: int = 131072,
         seed: int = 0,
         char_ngrams: bool = True,
         bm25_k1: float = 1.2,
         bm25_b: float = 0.75,
         max_fit_docs: int = 2048,
+        char_weight: float = 1.0,
+        bigram_idf_cap: bool = True,
     ):
         self.dim = dim
         self.num_features = num_features
@@ -160,6 +191,18 @@ class LexicalLSAEncoder:
         self.bm25_k1 = float(bm25_k1)
         self.bm25_b = float(bm25_b)
         self.max_fit_docs = int(max_fit_docs)
+        # <1 downweights char 3/4-gram features relative to word uni/bigrams
+        # in the fitted BM25 weighting: a short entity query ("what is
+        # GPTQ?") emits ~6x more char-gram than word features, and at equal
+        # weight they swamp the high-IDF entity word (measured: the GPTQ
+        # chunk ranked ~30th at 1.0)
+        self.char_weight = float(char_weight)
+        # A bigram of two common words ("and how") is RARE as an exact pair,
+        # so plain df gives it entity-level IDF and phrase coincidences
+        # dominate short queries; capping a bigram's IDF at the sum of its
+        # components' IDFs keeps content-anchored phrases strong while
+        # crushing stopword pairs.
+        self.bigram_idf_cap = bool(bigram_idf_cap)
         self.fitted = False
         self._idf = np.ones(num_features, np.float32)
         self._avgdl = 1.0
@@ -180,26 +223,43 @@ class LexicalLSAEncoder:
         self._project_sparse = project_sparse
 
     # -- featurize + weight --------------------------------------------------
-    def _weighted_csr(self, texts: Sequence[str]):
-        from .hashed_features import featurize_batch_counts
-
-        indices, counts, offsets = featurize_batch_counts(
-            texts, self.num_features, self.char_ngrams
-        )
-        if not self.fitted:
-            # unfitted fallback: sublinear tf, like HashedEncoder
-            weights = (1.0 + np.log(np.maximum(counts, 1.0))).astype(np.float32)
-            return indices, weights, offsets
-        # per-doc token totals broadcast to each nonzero (cumsum segment sums
-        # handle empty texts, unlike reduceat)
+    def _doc_totals(self, counts: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        # per-doc token totals (cumsum segment sums handle empty texts,
+        # unlike reduceat)
         csum = np.concatenate([[0.0], np.cumsum(counts, dtype=np.float64)])
-        totals = csum[offsets[1:]] - csum[offsets[:-1]]
+        return csum[offsets[1:]] - csum[offsets[:-1]]
+
+    def _bm25_weights(self, indices, counts, offsets, totals) -> np.ndarray:
         lens_per_nz = np.repeat(totals, offsets[1:] - offsets[:-1])
         k1, b = self.bm25_k1, self.bm25_b
         tf = counts.astype(np.float64)
         denom = tf + k1 * (1.0 - b + b * lens_per_nz / max(self._avgdl, 1e-9))
-        weights = (self._idf[indices] * (tf * (k1 + 1.0) / np.maximum(denom, 1e-9))).astype(np.float32)
-        return indices, weights, offsets
+        return (self._idf[indices] * (tf * (k1 + 1.0) / np.maximum(denom, 1e-9))).astype(np.float32)
+
+    def _weighted_csr(self, texts: Sequence[str]):
+        from .hashed_features import featurize_batch_counts
+
+        split = self.fitted and self.char_ngrams and self.char_weight != 1.0
+        if not split:
+            indices, counts, offsets = featurize_batch_counts(
+                texts, self.num_features, self.char_ngrams
+            )
+            if not self.fitted:
+                # unfitted fallback: sublinear tf, like HashedEncoder
+                weights = (1.0 + np.log(np.maximum(counts, 1.0))).astype(np.float32)
+                return indices, weights, offsets
+            totals = self._doc_totals(counts, offsets)
+            return indices, self._bm25_weights(indices, counts, offsets, totals), offsets
+
+        # split featurization: word uni/bigrams at full weight, char
+        # 3/4-grams scaled by char_weight; BM25 length normalization uses the
+        # combined per-doc totals so tf saturation matches the unsplit path
+        wi, wc, wo = featurize_batch_counts(texts, self.num_features, parts="word")
+        ci, cc, co = featurize_batch_counts(texts, self.num_features, parts="char")
+        totals = self._doc_totals(wc, wo) + self._doc_totals(cc, co)
+        w_weights = self._bm25_weights(wi, wc, wo, totals)
+        c_weights = self._bm25_weights(ci, cc, co, totals) * self.char_weight
+        return _concat_csr_rows((wi, w_weights, wo), (ci, c_weights, co))
 
     # -- fit ------------------------------------------------------------------
     def fit(self, corpus_texts: Sequence[str]) -> None:
@@ -224,6 +284,8 @@ class LexicalLSAEncoder:
         self._idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
         doc_token_counts = np.add.reduceat(counts, offsets[:-1]) if len(counts) else np.ones(n)
         self._avgdl = float(np.mean(doc_token_counts)) if n else 1.0
+        if self.bigram_idf_cap:
+            self._cap_bigram_idf(texts)
         self.fitted = True
 
         # weighted, row-normalized doc matrix on the fit subsample
@@ -254,6 +316,27 @@ class LexicalLSAEncoder:
             n, s, self._avgdl,
         )
 
+    def _cap_bigram_idf(self, texts: Sequence[str]) -> None:
+        """idf(a|b) ← min(idf(a|b), idf(a) + idf(b)) for every corpus bigram
+        (query-only bigrams can never match, so corpus bigrams suffice).
+        Collision caveat: a capped bucket may also host unrelated grams —
+        acceptable at the default feature-space load."""
+        from .hashed_features import _fnv1a, _tokenize_bytes
+
+        f = self.num_features
+        seen = set()
+        for t in texts:
+            words = _tokenize_bytes(t)
+            for a, b in zip(words, words[1:]):
+                key = a + b"\x1f" + b
+                if key in seen:
+                    continue
+                seen.add(key)
+                bucket = _fnv1a(key) % f
+                cap = self._idf[_fnv1a(a) % f] + self._idf[_fnv1a(b) % f]
+                if self._idf[bucket] > cap:
+                    self._idf[bucket] = cap
+
     # -- encode ----------------------------------------------------------------
     def encode_dev(self, texts: Sequence[str], pad_to: int = 0) -> jax.Array:
         b = max(len(texts), 1)
@@ -282,6 +365,7 @@ class LexicalLSAEncoder:
             avgdl=np.float32(self._avgdl),
             fitted=np.bool_(self.fitted),
             char_ngrams=np.bool_(self.char_ngrams),
+            char_weight=np.float32(self.char_weight),
             dim=np.int64(self.dim),
             num_features=np.int64(self.num_features),
         )
@@ -294,6 +378,8 @@ class LexicalLSAEncoder:
         self.dim = int(data["dim"])
         self.num_features = int(data["num_features"])
         self.char_ngrams = bool(data["char_ngrams"])
+        if "char_weight" in data:
+            self.char_weight = float(data["char_weight"])
         self.fitted = bool(data["fitted"])
         self._idf = data["idf"].astype(np.float32)
         self._avgdl = float(data["avgdl"])
@@ -321,11 +407,14 @@ class EmbeddingModel:
         elif self.backend == "lexical":
             self._hashed = LexicalLSAEncoder(
                 dim=self.embedding_dim,
+                num_features=int(config.get("num_features", 131072)),
                 seed=seed,
                 char_ngrams=bool(config.get("char_ngrams", True)),
                 bm25_k1=float(config.get("bm25_k1", 1.2)),
                 bm25_b=float(config.get("bm25_b", 0.75)),
                 max_fit_docs=int(config.get("max_fit_docs", 2048)),
+                char_weight=float(config.get("char_weight", 1.0)),
+                bigram_idf_cap=bool(config.get("bigram_idf_cap", True)),
             )
             self.tokenizer = None
             self.encoder = None

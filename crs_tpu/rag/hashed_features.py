@@ -116,15 +116,18 @@ def _tokenize_bytes(text: str) -> List[bytes]:
     return words
 
 
-def _count_py(text: str, num_features: int, char_ngrams: bool = False) -> Dict[int, int]:
+def _count_py(
+    text: str, num_features: int, char_ngrams: bool = False, word_grams: bool = True
+) -> Dict[int, int]:
     words = _tokenize_bytes(text)
     counts: Dict[int, int] = {}
-    for w in words:
-        idx = _fnv1a(w) % num_features
-        counts[idx] = counts.get(idx, 0) + 1
-    for a, b in zip(words, words[1:]):
-        idx = _fnv1a(a + b"\x1f" + b) % num_features
-        counts[idx] = counts.get(idx, 0) + 1
+    if word_grams:
+        for w in words:
+            idx = _fnv1a(w) % num_features
+            counts[idx] = counts.get(idx, 0) + 1
+        for a, b in zip(words, words[1:]):
+            idx = _fnv1a(a + b"\x1f" + b) % num_features
+            counts[idx] = counts.get(idx, 0) + 1
     if char_ngrams:
         for w in words:
             # native path caps words at 256 bytes before padding
@@ -195,12 +198,20 @@ def featurize_batch(
 
 
 def featurize_batch_counts(
-    texts: Sequence[str], num_features: int, char_ngrams: bool = True
+    texts: Sequence[str], num_features: int, char_ngrams: bool = True,
+    parts: str = "both",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """CSR-style batch featurization with RAW counts (+ optional char n-grams):
     (indices, counts, offsets[n+1]). Native fast path via featurize_batch_ex
-    (mode bit 0 = char n-grams, bit 1 = raw counts)."""
-    mode = 2 | (1 if char_ngrams else 0)
+    (mode bit 0 = char n-grams, bit 1 = raw counts, bit 2 = char-only).
+
+    ``parts``: "both" (default), "word" (uni/bigrams only), or "char"
+    (char 3/4-grams only) — the split the lexical encoder uses to weight
+    char-gram features below word features."""
+    if parts == "word":
+        char_ngrams = False
+    word_grams = parts != "char"
+    mode = 2 | (1 if char_ngrams else 0) | (0 if word_grams else 4)
     lib = _build_and_load()
     if lib is not None and hasattr(lib, "featurize_batch_ex"):
         encoded = [t.encode("utf-8") for t in texts]
@@ -223,7 +234,7 @@ def featurize_batch_counts(
     weights: List[float] = []
     offsets = [0]
     for t in texts:
-        f = _count_py(t, num_features, char_ngrams)
+        f = _count_py(t, num_features, char_ngrams, word_grams=word_grams)
         indices.extend(f.keys())
         weights.extend(float(c) for c in f.values())
         offsets.append(len(indices))

@@ -70,6 +70,8 @@ namespace {
 // Shared tokenizer + gram accumulator. mode bits:
 //   bit 0 — add char 3/4-grams per word (with '^'/'$' boundary padding)
 //   bit 1 — emit raw counts instead of 1+ln(count)
+//   bit 2 — SUPPRESS word uni/bigrams (char-only mode, for split-weighted
+//            featurization in the lexical encoder)
 // Returns number of pairs written, or -1 on overflow.
 int featurize_impl(const char* text, int text_len, long long num_features,
                    int mode, long long* out_idx, float* out_w, int max_out) {
@@ -97,16 +99,18 @@ int featurize_impl(const char* text, int text_len, long long num_features,
 
     CountMap map;
     const uint64_t nf = static_cast<uint64_t>(num_features);
-    for (int w = 0; w < n_words; ++w) {
-        uint64_t h = fnv1a(buf + starts[w], lens[w]);
-        map.add(static_cast<int64_t>(h % nf));
-    }
-    const char SEP = '\x1f';
-    for (int w = 0; w + 1 < n_words; ++w) {
-        uint64_t h = fnv1a(buf + starts[w], lens[w]);
-        h = fnv1a(&SEP, 1, h);
-        h = fnv1a(buf + starts[w + 1], lens[w + 1], h);
-        map.add(static_cast<int64_t>(h % nf));
+    if (!(mode & 4)) {
+        for (int w = 0; w < n_words; ++w) {
+            uint64_t h = fnv1a(buf + starts[w], lens[w]);
+            map.add(static_cast<int64_t>(h % nf));
+        }
+        const char SEP = '\x1f';
+        for (int w = 0; w + 1 < n_words; ++w) {
+            uint64_t h = fnv1a(buf + starts[w], lens[w]);
+            h = fnv1a(&SEP, 1, h);
+            h = fnv1a(buf + starts[w + 1], lens[w + 1], h);
+            map.add(static_cast<int64_t>(h % nf));
+        }
     }
     if (mode & 1) {
         // char n-grams over '^' + word + '$', n in {3, 4}, windows only when

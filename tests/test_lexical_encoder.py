@@ -148,3 +148,87 @@ def test_context_quality_reference_semantics():
         [[{"text": "x"}]], ["alpha beta and much more text"],
     )
     assert out2["context_sufficiency"] == 1.0
+
+
+def test_featurize_parts_split_covers_both():
+    """word + char split featurization must union to the combined counts."""
+    from crs_tpu.rag.hashed_features import featurize_batch_counts
+
+    texts = ["Model compression for LLMs", "GPTQ quantizes weights"]
+    both = featurize_batch_counts(texts, 32768, char_ngrams=True)
+    word = featurize_batch_counts(texts, 32768, parts="word")
+    char = featurize_batch_counts(texts, 32768, parts="char")
+    for row in range(2):
+        def row_map(csr):
+            i, c, o = csr
+            return {int(k): float(v) for k, v in zip(i[o[row]:o[row+1]], c[o[row]:o[row+1]])}
+        m_both, m_w, m_c = row_map(both), row_map(word), row_map(char)
+        merged = dict(m_w)
+        for k, v in m_c.items():
+            merged[k] = merged.get(k, 0.0) + v
+        assert merged == m_both
+
+
+def test_native_and_python_split_agree():
+    from crs_tpu.rag import hashed_features as hf
+
+    if not hf.native_available():
+        import pytest
+        pytest.skip("native featurizer unavailable")
+    texts = ["What is GPTQ and how does it work?"]
+    for parts in ("word", "char", "both"):
+        ni, nc, no = hf.featurize_batch_counts(texts, 32768, parts=parts)
+        native_map = dict(zip(ni.tolist(), nc.tolist()))
+        f = hf._count_py(texts[0], 32768, char_ngrams=parts != "word",
+                         word_grams=parts != "char")
+        assert {int(k): float(v) for k, v in native_map.items()} == \
+               {int(k): float(v) for k, v in f.items()}
+
+
+def test_concat_csr_rows():
+    import numpy as np
+
+    from crs_tpu.rag.embedding import _concat_csr_rows
+
+    a = (np.array([1, 2, 3]), np.array([1., 2., 3.], np.float32), np.array([0, 2, 3]))
+    b = (np.array([7, 8]), np.array([7., 8.], np.float32), np.array([0, 0, 2]))
+    idx, w, off = _concat_csr_rows(a, b)
+    assert off.tolist() == [0, 2, 5]
+    assert idx.tolist() == [1, 2, 3, 7, 8]
+    assert w.tolist() == [1.0, 2.0, 3.0, 7.0, 8.0]
+
+
+def test_bigram_idf_cap_downweights_stopword_pairs():
+    """After fitting, a stopword-pair bigram's IDF must not exceed the sum
+    of its components', while an entity unigram keeps high IDF."""
+    import numpy as np
+
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+    from crs_tpu.rag.hashed_features import _fnv1a
+
+    docs = [f"this paper and how it studies topic {i} in depth" for i in range(20)]
+    docs += ["GPTQ quantizes large language models efficiently"]
+    enc = LexicalLSAEncoder(dim=64, num_features=131072, bigram_idf_cap=True)
+    enc.fit(docs)
+    f = enc.num_features
+    bg = enc._idf[_fnv1a(b"and\x1fhow") % f]
+    cap = enc._idf[_fnv1a(b"and") % f] + enc._idf[_fnv1a(b"how") % f]
+    assert bg <= cap + 1e-6
+    assert enc._idf[_fnv1a(b"gptq") % f] > bg
+
+
+def test_char_weight_downweights_char_grams():
+    import numpy as np
+
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    docs = [f"alpha beta gamma delta {i}" for i in range(10)]
+    full = LexicalLSAEncoder(dim=32, char_weight=1.0)
+    half = LexicalLSAEncoder(dim=32, char_weight=0.5)
+    full.fit(docs)
+    half.fit(docs)
+    # the split path must produce identical WORD-part weights and scaled
+    # char-part weights: check total weight mass drops
+    _, w_full, _ = full._weighted_csr(["alpha beta"])
+    _, w_half, _ = half._weighted_csr(["alpha beta"])
+    assert w_half.sum() < w_full.sum()

@@ -78,6 +78,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="1b")
     ap.add_argument("--bits", type=int, default=4)
+    ap.add_argument("--kv-bits", type=int, default=16, choices=(8, 16))
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prefill", type=int, default=128)
     ap.add_argument("--n1", type=int, default=8)
@@ -91,9 +92,13 @@ def main() -> None:
     from crs_tpu.models.sampling import SamplingParams, generate_tokens
     from crs_tpu.models.transformer import CONFIGS
 
+    import dataclasses
+
     cfg = CONFIGS[args.config]
+    if args.kv_bits != 16:
+        cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     print(f"device={jax.devices()[0].device_kind} config={args.config} bits={args.bits} "
-          f"batch={args.batch}", file=sys.stderr)
+          f"kv_bits={args.kv_bits} batch={args.batch}", file=sys.stderr)
 
     t0 = time.perf_counter()
     params = build_random_quant_params(cfg, args.bits)
@@ -121,8 +126,8 @@ def main() -> None:
     t1, t2 = float(np.median(t1s)), float(np.median(t2s))
     ms_per_tok = (t2 - t1) * 1000.0 / (args.n2 - args.n1)
     print(json.dumps({
-        "config": args.config, "bits": args.bits, "batch": args.batch,
-        "prefill": args.prefill,
+        "config": args.config, "bits": args.bits, "kv_bits": args.kv_bits,
+        "batch": args.batch, "prefill": args.prefill,
         "decode_ms_per_token": round(ms_per_tok, 4),
         "tokens_per_sec": round(args.batch * 1000.0 / ms_per_tok, 2),
         "t_n1_s": round(t1, 4), "t_n2_s": round(t2, 4),
