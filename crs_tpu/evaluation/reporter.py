@@ -64,11 +64,31 @@ class ReportGenerator:
         table_body = table_html.split("<body>")[1].split("</body>")[0]
         parts.append(f'<div class="section"><h2>Results</h2>{table_body}</div>')
 
-        # embedded plots
+        # per-domain sections: that domain's metric table + its plots
+        # (reference reporter.py:408-501 structures the report per benchmark)
         plots = self._plots()
-        if plots:
-            parts.append('<div class="section"><h2>Plots</h2>')
-            for p in plots:
+        for domain, domain_metrics in (
+            ("Efficiency", ResultsVisualizer.EFFICIENCY_METRICS),
+            ("Performance", ResultsVisualizer.PERFORMANCE_METRICS),
+            ("Retrieval", ResultsVisualizer.RETRIEVAL_METRICS),
+        ):
+            present = [
+                m for m in domain_metrics
+                if any(m in self._flat(r) for r in self.results.values())
+            ]
+            section_plots = plots.get(domain.lower(), [])
+            if not present and not section_plots:
+                continue
+            parts.append(f'<div class="section"><h2>{domain}</h2>')
+            if present:
+                t = exporter.to_html(None, present)
+                parts.append(t.split("<body>")[1].split("</body>")[0])
+            for p in section_plots:
+                parts.append(f'<img src="data:image/png;base64,{p}"/>')
+            parts.append("</div>")
+        if plots.get("dashboard"):
+            parts.append('<div class="section"><h2>Dashboard</h2>')
+            for p in plots["dashboard"]:
                 parts.append(f'<img src="data:image/png;base64,{p}"/>')
             parts.append("</div>")
 
@@ -97,21 +117,38 @@ class ReportGenerator:
             f.write(doc)
         return out_path
 
-    def _plots(self) -> List[str]:
-        """Render plots to a temp dir and return base64 payloads."""
+    @staticmethod
+    def _flat(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(ReportGenerator._flat(v, f"{prefix}{k}."))
+            else:
+                out[k] = v  # leaf metric names are unique across domains
+        return out
+
+    def _plots(self) -> Dict[str, List[str]]:
+        """Render plots to a temp dir; return {domain: [base64 png, ...]}."""
         import tempfile
 
-        out: List[str] = []
-        with tempfile.TemporaryDirectory() as td:
-            viz = ResultsVisualizer(self.results, out_dir=td)
-            paths = viz.plot_efficiency() + viz.plot_retrieval() + viz.plot_performance()
-            dashboard = viz.plot_dashboard()
-            if dashboard:
-                paths.append(dashboard)
+        out: Dict[str, List[str]] = {}
+
+        def collect(domain: str, paths: Sequence[Optional[str]]) -> None:
             for p in paths:
+                if not p:
+                    continue
                 try:
                     with open(p, "rb") as f:
-                        out.append(base64.b64encode(f.read()).decode("ascii"))
+                        out.setdefault(domain, []).append(
+                            base64.b64encode(f.read()).decode("ascii")
+                        )
                 except OSError:
                     continue
+
+        with tempfile.TemporaryDirectory() as td:
+            viz = ResultsVisualizer(self.results, out_dir=td)
+            collect("efficiency", viz.plot_efficiency())
+            collect("retrieval", viz.plot_retrieval())
+            collect("performance", viz.plot_performance())
+            collect("dashboard", [viz.plot_dashboard()])
         return out

@@ -14,15 +14,14 @@ Layout trick (no sublane shuffles): ``quantize_tensor`` packs weight row
 ``2i`` in the lo nibble and row ``2i+1`` in the hi nibble of packed row
 ``i``. Splitting the *activation* columns into even/odd planes outside the
 kernel (cheap — activations are tiny at decode) makes the contraction two
-straight int8 dots per group:
+straight full-tile dots:
 
-    out = Σ_g [ (x_even_g · lo_g) + (x_odd_g · hi_g) ] · wscale_g · xscale
+    out = x_even · (lo · scale_rep) + x_odd · (hi · scale_rep)
 
 so the kernel never interleaves the unpacked rows back into weight order.
-
-Activations are dynamically quantized to int8 per row (same recipe as the
-int8 path); group scales are applied as an f32 fixup on the [Rt, Nt]
-accumulator — full f32 scale precision, no [Kt, Nt] dequant multiply.
+Group scales are folded into the bf16 weight tiles via a sublane repeat —
+measured faster on v5e than per-group int8 dots with f32 fixups (the small
+[Rt, gs/2] dots dominated, not the VPU dequant).
 
 On non-TPU backends the kernel runs in Pallas interpret mode (CI-testable on
 the CPU mesh).
@@ -77,7 +76,7 @@ def q4_pallas_supported(rows: int, k2: int, n: int, g: int, max_rows: int = 64) 
     return rows <= max_rows and _tile_config(k2, n, g) is not None
 
 
-def _q4_kernel(xe_ref, xo_ref, xs_ref, codes_ref, scales_ref, out_ref, *, gpt: int, gs2: int):
+def _q4_kernel(xe_ref, xo_ref, codes_ref, scales_ref, out_ref, *, gpt: int, gs2: int):
     # scales_ref holds ALL groups × the current N-tile (a [G, Nt] block —
     # a [gpt, Nt] block would violate the TPU sublane-divisibility rule for
     # small gpt); rows for this K-step are selected by program id.
@@ -87,26 +86,28 @@ def _q4_kernel(xe_ref, xo_ref, xs_ref, codes_ref, scales_ref, out_ref, *, gpt: i
     # on i8 fails to legalize); widen → shift → truncate is legal and the
     # values are bit-identical
     p32 = packed.astype(jnp.int32)
-    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(jnp.int8)  # rows 2i (sign-extended)
-    hi = jnp.right_shift(p32, 4).astype(jnp.int8)  # rows 2i+1 (arithmetic shift)
-    rt = xe_ref.shape[0]
-    nt = packed.shape[1]
-    acc = jnp.zeros((rt, nt), jnp.float32)
-    for grp in range(gpt):
-        lo_g = jax.lax.slice_in_dim(lo, grp * gs2, (grp + 1) * gs2, axis=0)
-        hi_g = jax.lax.slice_in_dim(hi, grp * gs2, (grp + 1) * gs2, axis=0)
-        pe = jax.lax.dot_general(
-            xe_ref[:, grp * gs2:(grp + 1) * gs2], lo_g,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        po = jax.lax.dot_general(
-            xo_ref[:, grp * gs2:(grp + 1) * gs2], hi_g,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc = acc + (pe + po).astype(jnp.float32) * scales_ref[kstep * gpt + grp, :][None, :]
-    acc = acc * xs_ref[:]  # [Rt, 1] per-row activation scales
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)  # rows 2i (sign-extended)
+    hi = jnp.right_shift(p32, 4)  # rows 2i+1 (arithmetic shift)
+    # fold the group scales into bf16 weights (sublane-repeat) and contract
+    # with TWO full-tile dots — measured faster than per-group int8 dots
+    # with f32 fixups (the small [Rt, gs2] dots dominate, not the VPU)
+    sl = scales_ref[pl.ds(kstep * gpt, gpt), :]  # [gpt, Nt] f32
+    # element-repeat each group row gs2 times (pltpu.repeat TILES, which is
+    # the wrong semantics): broadcast then collapse the major dims
+    rep = jnp.broadcast_to(sl[:, None, :], (gpt, gs2, sl.shape[1]))
+    rep = rep.reshape(gpt * gs2, sl.shape[1]).astype(jnp.bfloat16)  # [Kt2, Nt]
+    wlo = lo.astype(jnp.bfloat16) * rep
+    whi = hi.astype(jnp.bfloat16) * rep
+    acc = jax.lax.dot_general(
+        xe_ref[:], wlo,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + jax.lax.dot_general(
+        xo_ref[:], whi,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     @pl.when(kstep == 0)
     def _():
@@ -115,13 +116,6 @@ def _q4_kernel(xe_ref, xo_ref, xs_ref, codes_ref, scales_ref, out_ref, *, gpt: i
     @pl.when(kstep > 0)
     def _():
         out_ref[:] = out_ref[:] + acc
-
-
-def _quantize_rows(x2: jax.Array):
-    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
-    xs = jnp.maximum(amax.astype(jnp.float32), 1e-12) / 127.0
-    xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / xs), -127, 127).astype(jnp.int8)
-    return xq, xs
 
 
 def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
@@ -134,16 +128,14 @@ def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array
     gs2 = k2 // g
     kt2 = gpt * gs2
 
-    xq, xs = _quantize_rows(x2)
-    x3 = xq.reshape(r, k2, 2)
+    x3 = x2.astype(jnp.bfloat16).reshape(r, k2, 2)
     xe, xo = x3[:, :, 0], x3[:, :, 1]  # even/odd weight-row planes
 
-    rt = min(256, _round_up(r, 32))  # int8 sublane tile
+    rt = min(256, _round_up(r, 16))  # bf16 sublane tile
     rp = _round_up(r, rt)
     if rp != r:
         pad = ((0, rp - r), (0, 0))
         xe, xo = jnp.pad(xe, pad), jnp.pad(xo, pad)
-        xs = jnp.pad(xs, ((0, rp - r), (0, 0)))
 
     grid = (rp // rt, n // nt, k2 // kt2)
     out = pl.pallas_call(
@@ -152,14 +144,13 @@ def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array
         in_specs=[
             pl.BlockSpec((rt, kt2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, kt2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, 1), lambda i, j, kk: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((kt2, nt), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, nt), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rt, nt), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, n), jnp.float32),
         interpret=_interpret(),
-    )(xe, xo, xs, codes, scales)
+    )(xe, xo, codes, scales)
     return out[:r]
 
 
@@ -201,17 +192,17 @@ q4_matmul.defvjp(_q4_fwd, _q4_bwd)
 
 
 def emulate_q4_matmul(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
-    """XLA emulation of the kernel's exact arithmetic (int8 activation quant,
-    int32 dot, f32 group-scale fixup) — the parity oracle for tests."""
-    xq, xs = _quantize_rows(x2)
+    """XLA emulation of the kernel's exact arithmetic (bf16 activations,
+    group scales folded into bf16 weights, f32 accumulation) — the parity
+    oracle for tests."""
     w_int = jnp.stack(
         [jnp.right_shift(jnp.left_shift(codes, 4), 4), jnp.right_shift(codes, 4)], axis=1
     ).reshape(2 * codes.shape[0], codes.shape[1])
     g = scales.shape[0]
     k = 2 * codes.shape[0]
     gs = k // g
-    xg = xq.reshape(xq.shape[0], g, gs)
-    wg = w_int.reshape(g, gs, w_int.shape[1])
-    parts = jnp.einsum("rgk,gkn->rgn", xg.astype(jnp.int32), wg.astype(jnp.int32))
-    out = jnp.sum(parts.astype(jnp.float32) * scales[None, :, :], axis=1)
-    return out * xs
+    scale_rows = jnp.repeat(scales, gs, axis=0)  # [K, N]
+    w = w_int.astype(jnp.bfloat16) * scale_rows.astype(jnp.bfloat16)
+    return jnp.dot(
+        x2.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    )
