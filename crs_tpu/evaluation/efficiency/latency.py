@@ -123,7 +123,11 @@ def measure_prefill_decode_latency(
             for _ in range(num_runs):
                 t0 = time.perf_counter()
                 out = model.forward(ids)
-                np.asarray(out)  # materialize = fence
+                # fence on the LAST position only: the full [B, S, V] logits
+                # are ~16 MB at 1b dims, and fetching them over the axon
+                # tunnel (~100 MB/s) dominated the reported prefill time;
+                # the slice still forces the whole forward
+                np.asarray(out[:, -1] if getattr(out, "ndim", 0) == 3 else out)
                 prefill_times.append(time.perf_counter() - t0)
         except Exception as e:  # pragma: no cover
             logger.warning("prefill measurement failed: %s", e)

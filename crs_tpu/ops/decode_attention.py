@@ -65,22 +65,27 @@ def decode_attention_supported(head_dim: int, seq: int) -> bool:
     return head_dim % 128 == 0 and seq % 128 == 0
 
 
-def _decode_attn_kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, valid_ref, out_ref, *, scale: float):
+def _decode_attn_kernel(q_ref, kc_ref, ks_ref, vc_ref, vs_ref, bias_ref, out_ref, *, scale: float):
+    # Scales/bias carry an explicit singleton sublane dim ([.., 1, S]
+    # blocks): a (1, 1, S) block over [B, Hkv, S] puts a non-divisible 1 in
+    # the second-to-last slot, which the real Mosaic lowering rejects (CI
+    # interpret mode does not check block-shape rules). The validity mask is
+    # a precomputed f32 ADDITIVE bias (0 / -1e30): loading an int8 mask row
+    # and `where`-ing it over [G, S] SIGABRTs the Mosaic compiler, and the
+    # bias form also deletes both selects — exp underflows masked slots to
+    # exactly 0.
     q = q_ref[0, 0].astype(jnp.bfloat16)  # [G, hd]
     k = kc_ref[0, 0].astype(jnp.bfloat16)  # [S, hd]
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [G, S]
-    scores = scores * (ks_ref[0, 0] * scale)[None, :]
-    ok = valid_ref[0, :] != 0  # [S]
-    scores = jnp.where(ok[None, :], scores, NEG_INF)
+    scores = scores * (ks_ref[0, 0, 0] * scale)[None, :] + bias_ref[0, 0, 0][None, :]
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
-    e = jnp.where(ok[None, :], e, 0.0)
     l = jnp.sum(e, axis=1, keepdims=True)
     probs = e / jnp.maximum(l, 1e-30)  # [G, S]
-    pv = (probs * vs_ref[0, 0][None, :]).astype(jnp.bfloat16)
+    pv = (probs * vs_ref[0, 0, 0][None, :]).astype(jnp.bfloat16)
     v = vc_ref[0, 0].astype(jnp.bfloat16)  # [S, hd]
     ctx = jnp.dot(pv, v, preferred_element_type=jnp.float32)  # [G, hd]
     out_ref[0, 0] = ctx
@@ -99,23 +104,29 @@ def decode_attention_int8(
     b, hkv, g, hd = q.shape
     s = k_codes.shape[2]
     sm_scale = float(1.0 / (hd ** 0.5))
-    valid8 = valid.astype(jnp.int8)
+    ks4 = k_scales.reshape(b, hkv, 1, s)
+    vs4 = v_scales.reshape(b, hkv, 1, s)
+    bias4 = jnp.where(valid != 0, 0.0, NEG_INF).astype(jnp.float32).reshape(b, 1, 1, s)
     out = pl.pallas_call(
         partial(_decode_attn_kernel, scale=sm_scale),
         grid=(b, hkv),
         in_specs=[
             pl.BlockSpec((1, 1, g, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, hd), jnp.float32),
         interpret=_interpret(),
-    )(q, k_codes, k_scales, v_codes, v_scales, valid8)
-    return out
+    )(q, k_codes, ks4, v_codes, vs4, bias4)
+    # All-masked rows: the bias form softmaxes to uniform-over-garbage where
+    # the old select form gave exact zeros — restore that (and parity with
+    # the emulation oracle) with a per-batch any-valid gate.
+    any_valid = jnp.any(valid != 0, axis=1).astype(out.dtype)  # [B]
+    return out * any_valid[:, None, None, None]
 
 
 def emulate_decode_attention_int8(q, k_codes, k_scales, v_codes, v_scales, valid):

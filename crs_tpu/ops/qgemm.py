@@ -77,9 +77,10 @@ def q4_pallas_supported(rows: int, k2: int, n: int, g: int, max_rows: int = 64) 
 
 
 def _q4_kernel(xe_ref, xo_ref, codes_ref, scales_ref, out_ref, *, gpt: int, gs2: int):
-    # scales_ref holds ALL groups × the current N-tile (a [G, Nt] block —
-    # a [gpt, Nt] block would violate the TPU sublane-divisibility rule for
-    # small gpt); rows for this K-step are selected by program id.
+    # scales_ref block: [1, gpt_pad8, Nt] — this K-step's group rows,
+    # sliced by the BLOCK SPEC (an in-kernel pl.ds row slice would need a
+    # statically 8-aligned start, which kstep·gpt isn't for gpt=4), with the
+    # group dim padded to the f32 sublane tile.
     kstep = pl.program_id(2)
     packed = codes_ref[:]  # [Kt2, Nt] int8
     # nibble unpack in int32: Mosaic has no int8 vector shifts (arith.shli
@@ -88,10 +89,10 @@ def _q4_kernel(xe_ref, xo_ref, codes_ref, scales_ref, out_ref, *, gpt: int, gs2:
     p32 = packed.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)  # rows 2i (sign-extended)
     hi = jnp.right_shift(p32, 4)  # rows 2i+1 (arithmetic shift)
-    # fold the group scales into bf16 weights (sublane-repeat) and contract
-    # with TWO full-tile dots — measured faster than per-group int8 dots
-    # with f32 fixups (the small [Rt, gs2] dots dominate, not the VPU)
-    sl = scales_ref[pl.ds(kstep * gpt, gpt), :]  # [gpt, Nt] f32
+    # fold the group scales into bf16 weights and contract with TWO
+    # full-tile dots — measured faster than per-group int8 dots with f32
+    # fixups (the small [Rt, gs2] dots dominate, not the VPU)
+    sl = scales_ref[0, :gpt, :]  # [gpt, Nt] f32
     # element-repeat each group row gs2 times (pltpu.repeat TILES, which is
     # the wrong semantics): broadcast then collapse the major dims
     rep = jnp.broadcast_to(sl[:, None, :], (gpt, gs2, sl.shape[1]))
@@ -137,7 +138,16 @@ def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array
         pad = ((0, rp - r), (0, 0))
         xe, xo = jnp.pad(xe, pad), jnp.pad(xo, pad)
 
-    grid = (rp // rt, n // nt, k2 // kt2)
+    # regroup scales per K-step with the group dim padded to the f32 sublane
+    # tile (scales are tiny — ≤2 MB even for the LM head — so this per-call
+    # reshape costs ~nothing next to the packed-code reads)
+    nk = k2 // kt2
+    gp8 = _round_up(gpt, 8)
+    scales3 = scales.reshape(nk, gpt, n)
+    if gp8 != gpt:
+        scales3 = jnp.pad(scales3, ((0, 0), (0, gp8 - gpt), (0, 0)))
+
+    grid = (rp // rt, n // nt, nk)
     out = pl.pallas_call(
         partial(_q4_kernel, gpt=gpt, gs2=gs2),
         grid=grid,
@@ -145,12 +155,12 @@ def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array
             pl.BlockSpec((rt, kt2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((rt, kt2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((kt2, nt), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, nt), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gp8, nt), lambda i, j, kk: (kk, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rt, nt), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, n), jnp.float32),
         interpret=_interpret(),
-    )(xe, xo, codes, scales)
+    )(xe, xo, codes, scales3)
     return out[:r]
 
 

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Compile-and-verify every Pallas kernel family on the REAL chip.
+
+CI runs the kernels in interpret mode on CPU, which checks numerics but not
+Mosaic legality — int8 vector shifts, sublane-aligned dynamic slices, and
+block-shape rules only fail on the actual TPU lowering (three such failures
+were caught by full decode benches in round 2, each costing a ~20-minute
+compile cycle). This script compiles one small shape per kernel and checks
+output against the XLA oracle. Run it after touching crs_tpu/ops/*.
+
+Usage: python tools/tpu_kernel_smoke.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def check(name, fn):
+    t0 = time.perf_counter()
+    try:
+        fn()
+        print(f"ok   {name} ({time.perf_counter()-t0:.0f}s)")
+        return True
+    except Exception as e:
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+        return False
+
+
+def main() -> int:
+    print(f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    ok = True
+
+    def scan_fp32():
+        from crs_tpu.ops.pallas_scan import pallas_topk
+
+        # fp32 MXU dots are bf16-pass decompositions whose rounding differs
+        # between the Pallas kernel and XLA's dot, so near-ties at the k-th
+        # rank can swap ids between the two — check against an fp64 host
+        # oracle with a score tolerance instead of exact id equality.
+        vn = rng.standard_normal((2048, 128)).astype(np.float32)
+        qn = rng.standard_normal((8, 128)).astype(np.float32)
+        s, i = pallas_topk(jnp.asarray(vn), jnp.asarray(qn), 5, 2000, block_size=1024)
+        i = np.asarray(i)
+        true = qn.astype(np.float64) @ vn[:2000].astype(np.float64).T  # [8, 2000]
+        kth = np.sort(true, axis=1)[:, -5]
+        got = np.take_along_axis(true, i, axis=1)
+        assert (got >= kth[:, None] - 1e-3).all(), (got, kth)
+
+    def scan_int8():
+        from crs_tpu.ops.pallas_scan import pallas_topk_int8
+        from crs_tpu.ops.quant import int8_topk, scalar_quantize
+
+        v = rng.standard_normal((2048, 128)).astype(np.float32)
+        codes, scales = scalar_quantize(jnp.asarray(v))
+        q = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+        s, i = pallas_topk_int8(codes, scales, q, 5, 2000, block_size=1024)
+        s2, i2 = int8_topk(codes, scales, q, 5, 2000, rescore_k=0)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+
+    def scan_pq():
+        from crs_tpu.ops.pallas_scan import pallas_topk_pq_adc
+        from crs_tpu.ops.pq import pq_encode, train_pq
+
+        v = jnp.asarray(rng.standard_normal((2048, 128)).astype(np.float32))
+        cb = train_pq(jax.random.PRNGKey(0), v, num_subspaces=8, num_clusters=16, num_iters=3)
+        codes = pq_encode(cb, v)
+        q = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+        s, i = pallas_topk_pq_adc(cb.centroids, codes, q, 5, 2000)
+        assert np.asarray(s).shape == (8, 5)
+
+    def q4():
+        from crs_tpu.models.quantized import quantize_tensor
+        from crs_tpu.ops.qgemm import emulate_q4_matmul, q4_matmul
+
+        # the mlp-down shape: G=44 → gpt=4, whose unaligned scale rows
+        # caught a real Mosaic failure
+        qt = quantize_tensor(
+            rng.standard_normal((5632, 256)).astype(np.float32) * 0.1,
+            bits=4, group_size=128,
+        )
+        x = jnp.asarray(rng.standard_normal((2, 5632)).astype(np.float32))
+        got = np.asarray(q4_matmul(x, qt.codes, qt.scales))
+        want = np.asarray(emulate_q4_matmul(x, qt.codes, qt.scales))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+    def decode_attn():
+        from crs_tpu.ops.decode_attention import (
+            decode_attention_int8,
+            emulate_decode_attention_int8,
+            quantize_kv_rows,
+        )
+
+        b, hkv, g, s, hd = 2, 2, 2, 256, 128
+        q = jnp.asarray(rng.standard_normal((b, hkv, g, hd)).astype(np.float32))
+        kc, ks = quantize_kv_rows(jnp.asarray(rng.standard_normal((b, hkv, s, hd)).astype(np.float32)))
+        vc, vs = quantize_kv_rows(jnp.asarray(rng.standard_normal((b, hkv, s, hd)).astype(np.float32)))
+        # mask the tail so the additive-bias mask path is exercised
+        valid = jnp.asarray((np.arange(s)[None, :] < s - 64).astype(np.int8).repeat(b, 0))
+        got = np.asarray(decode_attention_int8(q, kc, ks, vc, vs, valid))
+        want = np.asarray(emulate_decode_attention_int8(q, kc, ks, vc, vs, valid))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+    for name, fn in (
+        ("pallas_topk(fp32)", scan_fp32),
+        ("pallas_topk_int8", scan_int8),
+        ("pallas_topk_pq_adc", scan_pq),
+        ("q4_matmul", q4),
+        ("decode_attention_int8", decode_attn),
+    ):
+        ok = check(name, fn) and ok
+    print("ALL OK" if ok else "FAILURES", file=sys.stderr)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
