@@ -1,14 +1,24 @@
-"""Pallas int4 weight-only matmul: the decode-path bandwidth kernel.
+"""Pallas int4 weight-only matmul: the int4 decode kernel.
 
 The XLA int4 path (``crs_tpu.models.quantized.qmatmul``) dequantizes the
 packed weight into a full bf16 matrix before the dot — XLA materializes that
 matrix in HBM, so a "4-bit" decode step actually moves ~4x the packed bytes
-(packed read + bf16 write + bf16 read). This kernel is the reason int4
-exists: each grid step DMAs one *packed* [Kt/2, Nt] int8 block into VMEM,
-unpacks the nibbles on the VPU, and contracts on the MXU's native int8 path —
-HBM sees only the 4-bit bytes, halving the weight-read floor of the int8
-decode path (the reference's analogous win is auto-gptq's fused CUDA
-dequant-GEMV, ``models/gptq_model.py:75-84``).
+(packed read + bf16 write + bf16 read; measured 37 GB/s effective in a
+chained decode-realistic bench, ``tools/bench_chain_gemv.py``). This kernel
+DMAs one *packed* [Kt/2, Nt] int8 block into VMEM per grid step, unpacks the
+nibbles on the VPU, and contracts on the MXU — 186 GB/s effective, 5x the
+XLA dequant path, and the best int4 decode path available.
+
+Measured ceiling (v5e, round 2.5): it does NOT beat the int8 decode path in
+wall time. XLA's M<=8 int8 GEMV streams weights at ~990 GB/s (HBM rate),
+while a Pallas kernel whose dot runs on the MXU is weight-load bound at
+~350 GB/s for decode-sized row tiles regardless of dtype — so halved HBM
+bytes lose to a 3x slower consumer. Native XLA s4 dots fail to compile on
+the axon platform, and a VPU-only multiply-reduce GEMV pencils out worse at
+batch>1 (unpack cost scales per row). int4's value on TPU is therefore
+**2x weight memory** (serve twice the parameters per chip) at ~1.3x the
+int8 per-token latency — unlike the reference's T4, where auto-gptq's fused
+CUDA dequant-GEMV (``models/gptq_model.py:75-84``) is itself the fast path.
 
 Layout trick (no sublane shuffles): ``quantize_tensor`` packs weight row
 ``2i`` in the lo nibble and row ``2i+1`` in the hi nibble of packed row

@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Microbenchmark the int4 GEMV kernel variants against the int8 path.
+"""Microbenchmark int4 GEMV kernel variants (DEPRECATED harness).
+
+WARNING: this tool loops over ONE weight matrix, which under-reports TPU
+GEMV throughput ~6x (no cross-weight DMA pipelining) — use
+``tools/bench_chain_gemv.py`` for absolute rates; this remains useful only
+for RELATIVE comparisons between in-kernel variants at identical shapes.
 
 Isolates where the int4 kernel's time goes: nibble-unpack VPU cost (i32 vs
 i16 shifts, none), per-group small dots vs folded-scale big dots. One
