@@ -34,7 +34,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .transformer import TransformerConfig, forward
 
-__all__ = ["make_model_mesh", "param_pspecs", "shard_params", "make_sharded_train_step", "sharded_loss_fn"]
+__all__ = [
+    "make_model_mesh", "param_pspecs", "shard_params",
+    "make_sharded_train_step", "sharded_loss_fn", "sharded_generate_tokens",
+]
 
 
 def make_model_mesh(
@@ -114,3 +117,28 @@ def shard_batch(ids: np.ndarray, mask: np.ndarray, mesh: Mesh):
         jax.device_put(jnp.asarray(ids), s),
         jax.device_put(jnp.asarray(mask), s),
     )
+
+
+def sharded_generate_tokens(params, cfg: TransformerConfig, ids, mask, key, sp, mesh: Mesh):
+    """Multi-chip SERVING: full prefill + decode loop over the dp×tp mesh.
+
+    ``params`` must already be sharded (:func:`shard_params`); the host
+    batch is placed ``P("dp", None)`` and the jitted
+    :func:`~crs_tpu.models.sampling.generate_tokens` runs unmodified — GSPMD
+    propagates the Megatron layout through the whole generate: column-
+    parallel q/k/v produce a KV cache sharded (batch on dp, kv-heads on tp),
+    row-parallel o/down reduce partial sums with XLA-inserted
+    reduce-scatters, and the vocab-sharded LM head's logits all-gather only
+    at the [B, V] sampling step. Token outputs are replicated.
+
+    New capability vs the reference (single-GPU ``model.generate``,
+    ``models/huggingface_model.py:128-138``); exact-parity-tested against
+    the single-device loop in ``tests/test_sharded_generate.py`` and
+    certified by the driver's ``dryrun_multichip``. Requires bf16 KV
+    (``kv_bits=16``): the int8-KV Pallas decode kernel has no GSPMD
+    partitioning rule, so quantized-cache serving stays single-chip.
+    """
+    from .sampling import generate_tokens
+
+    ids_s, mask_s = shard_batch(np.asarray(ids), np.asarray(mask), mesh)
+    return generate_tokens(params, cfg, ids_s, mask_s, key, sp)

@@ -72,6 +72,13 @@ class ContextRetriever:
         self.rerank = bool(config.get("rerank", True))
         self.diversity_penalty = float(config.get("diversity_penalty", 0.1))
         self.rerank_semantic_weight = float(config.get("rerank_semantic_weight", 0.7))
+        # candidate-pool multiplier for rerank/MMR over-fetch. The reference
+        # hardcodes 2 (:119); on TPU a wider pool is nearly free (the batched
+        # scan's cost is corpus-, not k-, dominated), so this is exposed for
+        # callers whose rerank benefits from depth. On the bundled corpus it
+        # does NOT move context quality (top-3 picks are stable from 2x to
+        # 16x — the 0.7-semantic blend dominates); default stays 2 (parity).
+        self.rerank_fetch_mult = int(config.get("rerank_fetch_mult", 2))
         # fused=True: route batches through the single-dispatch device
         # program (hashed-presence rerank; no `where` support) — the
         # serving-latency configuration
@@ -97,7 +104,9 @@ class ContextRetriever:
         if self.store.n == 0 or not queries:
             return [[] for _ in queries]
         use_mmr = self.diversity_penalty > 0
-        fetch_k = min(2 * k if (self.rerank or use_mmr) else k, self.store.n)
+        fetch_k = min(
+            self.rerank_fetch_mult * k if (self.rerank or use_mmr) else k, self.store.n
+        )
 
         # Serving path: embed → scan → candidate-gather are dispatched
         # back-to-back WITHOUT host syncs, then materialized once — host↔
@@ -239,7 +248,10 @@ class ContextRetriever:
             finally:
                 self.fused = fused_flag
         self._ensure_presence()
-        fetch_k = min(2 * k if (self.rerank or self.diversity_penalty > 0) else k, self.store.n)
+        fetch_k = min(
+            self.rerank_fetch_mult * k if (self.rerank or self.diversity_penalty > 0) else k,
+            self.store.n,
+        )
         q_emb = self.embedder.embed(list(queries), as_numpy=False)
         if isinstance(q_emb, np.ndarray):
             q_emb = jnp.asarray(q_emb)

@@ -137,3 +137,35 @@ def test_sharded_train_step_matches_single_device(mesh8):
         np.testing.assert_allclose(
             np.asarray(ref_leaf), np.asarray(sh_leaf), atol=5e-5, rtol=1e-4
         )
+
+
+def test_sharded_generate_matches_single_device(mesh8):
+    """Multi-chip serving: the full prefill+decode loop under the dp/tp mesh
+    must produce the SAME tokens as the single-device generate (greedy)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.models.sampling import SamplingParams, generate_tokens
+    from crs_tpu.models.sharding import shard_params, sharded_generate_tokens
+    from crs_tpu.models.transformer import CONFIGS, init_params
+
+    cfg = dataclasses.replace(CONFIGS["tiny"], dtype=jnp.float32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 512, (4, 10)).astype(np.int32)
+    mask = np.ones((4, 10), bool)
+    mask[2, :3] = False  # left-padded row exercises the key-valid path
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0, eos_id=-1)
+    key = jax.random.PRNGKey(7)
+
+    local_toks, local_lens = generate_tokens(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask), key, sp
+    )
+    sharded = shard_params(params, mesh8)
+    dist_toks, dist_lens = sharded_generate_tokens(
+        sharded, cfg, ids, mask, key, sp, mesh8
+    )
+    np.testing.assert_array_equal(np.asarray(local_toks), np.asarray(dist_toks))
+    np.testing.assert_array_equal(np.asarray(local_lens), np.asarray(dist_lens))
