@@ -281,3 +281,91 @@ def test_extreme_lowbit_variants(qtype):
     # int2 stored unpacked int8, so bytes match int8-size not smaller; the
     # capability (levels) is what's tested here
     assert isinstance(m.generate("x", max_new_tokens=3), str)
+
+
+class TestProjectionFusion:
+    """fuse_qkv_params must be mathematically identical to the split form."""
+
+    def _params(self, cfg, quant=None, **kw):
+        import jax
+
+        from crs_tpu.models.transformer import init_params
+
+        params = init_params(jax.random.PRNGKey(3), cfg)
+        if quant:
+            from crs_tpu.models.quantized import quantize_params
+
+            params = quantize_params(params, bits=quant, **kw)
+        return params
+
+    def test_int8_fused_logits_exact(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from crs_tpu.models.transformer import CONFIGS, forward, fuse_qkv_params
+
+        cfg = CONFIGS["tiny"]
+        params = self._params(cfg, quant=8)
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 512, (2, 9)))
+        base = np.asarray(forward(params, cfg, ids))
+        fused = np.asarray(forward(fuse_qkv_params(params), cfg, ids))
+        # same activation quantizer input and per-column scales: the int32
+        # dot per output column is unchanged, only XLA reduction layout may
+        # differ → near-exact
+        np.testing.assert_allclose(base, fused, rtol=1e-5, atol=1e-5)
+
+    def test_bf16_fused_generate_identical_tokens(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from crs_tpu.models.sampling import SamplingParams, generate_tokens
+        from crs_tpu.models.transformer import CONFIGS, fuse_qkv_params
+
+        cfg = dataclasses.replace(CONFIGS["tiny"], dtype=jnp.float32)
+        params = self._params(cfg)
+        ids = jnp.asarray(np.random.default_rng(1).integers(0, 512, (2, 8)))
+        mask = jnp.ones((2, 8), jnp.bool_)
+        sp = SamplingParams(max_new_tokens=5, temperature=0.0, eos_id=-1)
+        t1, _ = generate_tokens(params, cfg, ids, mask, jax.random.PRNGKey(0), sp)
+        t2, _ = generate_tokens(
+            fuse_qkv_params(params), cfg, ids, mask, jax.random.PRNGKey(0), sp
+        )
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+    def test_int4_fused_close(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from crs_tpu.models.transformer import CONFIGS, forward, fuse_qkv_params
+
+        cfg = CONFIGS["tiny"]
+        params = self._params(cfg, quant=4, group_size=64)
+        ids = jnp.asarray(np.random.default_rng(2).integers(0, 512, (1, 7)))
+        base = np.asarray(forward(params, cfg, ids))
+        fused = np.asarray(forward(fuse_qkv_params(params), cfg, ids))
+        np.testing.assert_allclose(base, fused, rtol=2e-2, atol=2e-2)
+
+    def test_jax_model_loads_fused(self):
+        from crs_tpu.models.model_interface import JaxModel
+
+        m = JaxModel({"config": "tiny", "quantization": "int8",
+                      "fuse_projections": True})
+        m.load()
+        assert "qkv" in m.params["layers"][0]["attn"]
+        assert "gateup" in m.params["layers"][0]["mlp"]
+        out = m.generate("hi", max_new_tokens=4)
+        assert isinstance(out, str)
+
+    def test_lora_params_not_fused(self):
+        import jax
+
+        from crs_tpu.finetuning.lora import add_lora
+        from crs_tpu.models.transformer import CONFIGS, fuse_qkv_params, init_params
+
+        cfg = CONFIGS["tiny"]
+        params = add_lora(init_params(jax.random.PRNGKey(0), cfg), jax.random.PRNGKey(1))
+        fused = fuse_qkv_params(params)
+        assert "q" in fused["layers"][0]["attn"]  # untouched

@@ -84,6 +84,7 @@ def main() -> None:
     ap.add_argument("--n1", type=int, default=8)
     ap.add_argument("--n2", type=int, default=40)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--fuse", action="store_true", help="fuse q|k|v and gate|up projections")
     args = ap.parse_args()
 
     import jax
@@ -102,6 +103,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     params = build_random_quant_params(cfg, args.bits)
+    if args.fuse:
+        from crs_tpu.models.transformer import fuse_qkv_params
+
+        params = fuse_qkv_params(params)
     jax.block_until_ready(jax.tree.leaves(params)[0])
     print(f"params built+transferred in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
