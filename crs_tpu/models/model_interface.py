@@ -359,6 +359,8 @@ class JaxModel(ModelInterface):
             "device": str(jax.devices()[0]),
             "load_time_s": self.load_time_s,
             "weights_source": self.weights_source,
+            "kv_bits": self.kv_bits,
+            "fused_projections": self.fuse_projections,
         }
 
     def get_lm_eval_model(self):  # pragma: no cover - optional dependency
