@@ -47,6 +47,23 @@ NEG_INF = -1e30
 _INT_BIG = 2**31 - 1
 
 
+def _default_kb(k: int, nblocks: int) -> int:
+    """Winners per block when the caller didn't pin kb.
+
+    The VPU extract costs kb passes per score tile and DOMINATES at large
+    query blocks (measured 10M×384, B=256: kb=16/8/4 → 99/59/38 ms), so kb
+    should be as small as the exactness fallback allows: a block must hide
+    >kb of the global top-k to trip it, so with many blocks (expected
+    winners per block ≪ kb) small kb is essentially free, while with few
+    blocks the expectation k/nblocks forces kb up or the fallback would
+    fire every call. 4·k/nblocks keeps the trip probability negligible for
+    ~Poisson-spread winners; clamp to [4, min(k, 16)].
+    """
+    import math
+
+    return min(k, 16, max(4, math.ceil(4 * k / max(nblocks, 1))))
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -173,7 +190,6 @@ def pallas_topk(
     """
     n, d = vectors.shape
     b_real = queries.shape[0]
-    kb = kb or min(k, 16)
     qb = min(query_block, _round_up(b_real, 8))
     q = _pad_rows(queries.astype(vectors.dtype), qb)
     bp = q.shape[0]
@@ -181,6 +197,7 @@ def pallas_topk(
     vecs = _pad_rows(vectors, block_size)
     np_rows = vecs.shape[0]
     nblocks = np_rows // block_size
+    kb = kb or _default_kb(k, nblocks)
     # padding mask as an additive bias row (one in-kernel add; replaces the
     # per-block iota+compare+select)
     bias = jnp.where(
@@ -497,7 +514,6 @@ def pallas_topk_int8(
 
     n, d = codes.shape
     b_real = queries.shape[0]
-    kb = kb or min(k, 16)
     q_codes, q_scales = scalar_quantize(queries)
     qb = min(query_block, _round_up(b_real, 32))  # int8 sublane tile
     q_codes = _pad_rows(q_codes, qb)
@@ -506,6 +522,7 @@ def pallas_topk_int8(
     vecs = _pad_rows(codes, block_size)
     np_rows = vecs.shape[0]
     nblocks = np_rows // block_size
+    kb = kb or _default_kb(k, nblocks)
     vs = _pad_rows(scales.reshape(-1, 1), block_size).reshape(1, -1)  # [1, Np]
     bias = jnp.where(
         jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32), 0.0, NEG_INF
