@@ -52,16 +52,20 @@ def _default_kb(k: int, nblocks: int) -> int:
 
     The VPU extract costs kb passes per score tile and DOMINATES at large
     query blocks (measured 10M×384, B=256: kb=16/8/4 → 99/59/38 ms), so kb
-    should be as small as the exactness fallback allows: a block must hide
-    >kb of the global top-k to trip it, so with many blocks (expected
-    winners per block ≪ kb) small kb is essentially free, while with few
-    blocks the expectation k/nblocks forces kb up or the fallback would
-    fire every call. 4·k/nblocks keeps the trip probability negligible for
-    ~Poisson-spread winners; clamp to [4, min(k, 16)].
+    should be as small as the exactness fallback allows: a block trips the
+    fallback only when it holds > kb of one query's global top-k. With
+    winners ~Poisson(λ = k/nblocks) per (query, block) pair and MILLIONS of
+    pairs at scale, the tail must be pushed far down — kb=4 measured ONE
+    trip in 64×2442 pairs at k=128/10M, and a single trip pays the full
+    XLA fallback (~250 ms there), wiping out the extract savings. The
+    ceil(6λ)+6 slope with a floor of 8 keeps expected trips ≪ 1 across the
+    λ ≤ 2 regimes that matter (beyond that the cap engages and the corpus
+    is small enough that the fallback is cheap anyway); cap min(k, 16).
     """
     import math
 
-    return min(k, 16, max(4, math.ceil(4 * k / max(nblocks, 1))))
+    lam = k / max(nblocks, 1)
+    return min(k, 16, max(8, math.ceil(6 * lam) + 6))
 
 
 def _interpret() -> bool:
@@ -178,6 +182,7 @@ def pallas_topk(
     block_size: int = 4096,
     query_block: int = 256,
     kb: int = 0,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scan top-k. Returns (scores [B, k] f32, ids [B, k] i32).
 
@@ -198,11 +203,12 @@ def pallas_topk(
     np_rows = vecs.shape[0]
     nblocks = np_rows // block_size
     kb = kb or _default_kb(k, nblocks)
-    # padding mask as an additive bias row (one in-kernel add; replaces the
-    # per-block iota+compare+select)
-    bias = jnp.where(
-        jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32), 0.0, NEG_INF
-    ).astype(jnp.float32).reshape(1, -1)
+    # padding (and optional metadata row-mask) as an additive bias row: one
+    # in-kernel add replaces the per-block iota+compare+select
+    allowed = jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32)
+    if row_mask is not None:
+        allowed = allowed & _pad_rows(row_mask, block_size)
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
 
     out_s, out_i = pl.pallas_call(
         partial(_scan_kernel, kb=kb, block_size=block_size),
@@ -227,6 +233,10 @@ def pallas_topk(
         return top_s, top_i  # exact by construction
 
     def fallback():
+        if row_mask is not None:
+            from .topk import exact_topk
+
+            return exact_topk(vectors, queries, k, valid_n, row_mask=row_mask)
         from .topk import blockwise_topk
 
         return blockwise_topk(vectors, queries, k, valid_n)
@@ -305,7 +315,7 @@ def _scan_kernel_segmax_int8(
 
 
 def _scan_kernel_pq_adc(
-    valid_ref, lut_ref, codes_ref, out_s_ref, out_i_ref, *, kb: int, block_size: int, num_clusters: int
+    bias_ref, lut_ref, codes_ref, out_s_ref, out_i_ref, *, kb: int, block_size: int, num_clusters: int
 ):
     """PQ ADC scan: scores[b, n] = Σ_m LUT[b, m, codes[n, m]].
 
@@ -327,7 +337,7 @@ def _scan_kernel_pq_adc(
             preferred_element_type=jnp.float32,
         )  # [QB, BS]
     col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1) + ic * block_size
-    scores = jnp.where(col < valid_ref[0, 0], scores, NEG_INF)
+    scores = scores + bias_ref[:]  # precomputed 0/NEG_INF padding row
     _extract_block_topk(scores, col, kb, out_s_ref, out_i_ref)
 
 
@@ -362,14 +372,17 @@ def pallas_topk_pq_adc(
     bp = lut.shape[0]
     nq = bp // qb
     codes_p = _pad_rows(codes.astype(jnp.int32), block_size)
-    nblocks = codes_p.shape[0] // block_size
-    valid = jnp.asarray(valid_n, jnp.int32).reshape(1, 1)
+    np_rows = codes_p.shape[0]
+    nblocks = np_rows // block_size
+    bias = jnp.where(
+        jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32), 0.0, NEG_INF
+    ).astype(jnp.float32).reshape(1, -1)
 
     out_s, out_i = pl.pallas_call(
         partial(_scan_kernel_pq_adc, kb=kb, block_size=block_size, num_clusters=num_clusters),
         grid=(nq, nblocks),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda iq, ic: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_size), lambda iq, ic: (0, ic), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic: (iq, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_size, m_sub), lambda iq, ic: (ic, 0), memory_space=pltpu.VMEM),
         ],
@@ -382,7 +395,7 @@ def pallas_topk_pq_adc(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
         ),
         interpret=_interpret(),
-    )(valid, lut, codes_p)
+    )(bias, lut, codes_p)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
     if k <= kb:
         return top_s, top_i  # exact (w.r.t. ADC scores) by construction
@@ -392,7 +405,9 @@ def pallas_topk_pq_adc(
 
         return pq_adc_topk(PQCodebook(codebook_centroids), codes, queries, k, valid_n)
 
-    return _exact_or_fallback(out_s, top_s, top_i, b_real, k, kb, fallback)
+    return _exact_or_fallback(
+        _block_ceilings(out_s, b_real, kb), top_s, top_i, fallback
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "block_size", "query_block"))
@@ -502,6 +517,7 @@ def pallas_topk_int8(
     block_size: int = 4096,
     query_block: int = 256,
     kb: int = 0,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused int8 scan top-k (approximate scores; pair with fp32 rescore).
 
@@ -524,9 +540,10 @@ def pallas_topk_int8(
     nblocks = np_rows // block_size
     kb = kb or _default_kb(k, nblocks)
     vs = _pad_rows(scales.reshape(-1, 1), block_size).reshape(1, -1)  # [1, Np]
-    bias = jnp.where(
-        jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32), 0.0, NEG_INF
-    ).astype(jnp.float32).reshape(1, -1)
+    allowed = jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32)
+    if row_mask is not None:
+        allowed = allowed & _pad_rows(row_mask, block_size)
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
 
     out_s, out_i = pl.pallas_call(
         partial(_scan_kernel_int8, kb=kb, block_size=block_size),
@@ -555,10 +572,13 @@ def pallas_topk_int8(
 
     def fallback():
         # same quantized-score semantics as the kernel (no rescore here —
-        # callers rescore candidates themselves)
-        from .quant import int8_topk
+        # callers rescore candidates themselves). MUST be the non-routing
+        # XLA body: the routing entry would recurse back into this kernel.
+        from .quant import _int8_topk_xla
 
-        return int8_topk(codes, scales, queries, k, valid_n, rescore_k=0)
+        return _int8_topk_xla(
+            codes, scales, queries, k, valid_n, rescore_k=0, row_mask=row_mask
+        )
 
     ceilings = _block_ceilings(out_s, b_real, kb) * q_scales[:, None]
     return _exact_or_fallback(ceilings, top_s, top_i, fallback)

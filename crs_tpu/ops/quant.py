@@ -47,24 +47,39 @@ def scalar_dequantize(codes: jax.Array, scales: jax.Array) -> jax.Array:
     return codes.astype(jnp.float32) * scales[:, None]
 
 
-@partial(jax.jit, static_argnames=("k", "rescore_k"))
-def int8_topk(
-    codes: jax.Array,  # [N, D] int8
-    scales: jax.Array,  # [N] f32
-    queries: jax.Array,  # [B, D] f32 (L2-normalized)
-    k: int,
-    valid_n: jax.Array | int | None = None,
-    rescore_k: int = 0,
-    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
-) -> Tuple[jax.Array, jax.Array]:
-    """int8 MXU scan + optional fp32 exact rescore of top candidates.
+# corpora at least this many rows route the candidate scan through the
+# fused Pallas kernel: the XLA path materializes [B, N] scores and
+# lax.top_k over them dominates past ~1M rows (measured 10M×384, B=64:
+# XLA 251 ms vs Pallas 19.5 ms per batch — tools/bench_scale.py)
+_PALLAS_SCAN_MIN_ROWS = 4 * 4096
 
-    With ``rescore_k > k``: scan selects ``rescore_k`` candidates using the
-    fully-quantized dot, then candidates are dequantized and re-scored
-    against the *fp32* query; the final top-k ordering comes from the
-    rescored values. ``row_mask`` filters rows WITHOUT densifying the corpus
-    (the int8 codes stay int8; masking applies to the [B, N] score matrix).
-    """
+
+def _rescore_candidates(codes, scales, queries, cand_ok, cand_ids, k):
+    """fp32 exact rescore of gathered candidates (shared by both scan paths).
+
+    ``cand_ok`` [B, cand_k] bool marks candidates that passed the scan's
+    valid/row-mask filtering (an id-based mask, NOT a score sentinel — the
+    Pallas path scales emitted scores by the per-query quantization scale,
+    which can shrink a -1e30 sentinel past any magnitude threshold)."""
+    cand_vecs = codes[cand_ids].astype(jnp.float32) * scales[cand_ids][..., None]
+    exact = jnp.einsum("bd,bcd->bc", queries, cand_vecs, preferred_element_type=jnp.float32)
+    exact = jnp.where(cand_ok, exact, NEG_INF)
+    top_s, sel = jax.lax.top_k(exact, min(k, exact.shape[1]))
+    top_i = jnp.take_along_axis(cand_ids, sel, axis=1)
+    return top_s, top_i.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _rescore_candidates_jit(codes, scales, queries, cand_ok, cand_ids, k):
+    return _rescore_candidates(codes, scales, queries, cand_ok, cand_ids, k)
+
+
+@partial(jax.jit, static_argnames=("k", "rescore_k"))
+def _int8_topk_xla(
+    codes, scales, queries, k, valid_n=None, rescore_k=0, row_mask=None
+) -> Tuple[jax.Array, jax.Array]:
+    """The non-routing XLA body of :func:`int8_topk` (also the Pallas
+    kernel's exactness-fallback target — must never route back)."""
     n = codes.shape[0]
     q_codes, q_scales = scalar_quantize(queries)
     acc = jax.lax.dot_general(
@@ -86,12 +101,52 @@ def int8_topk(
 
     cand_k = min(rescore_k, n)
     cand_scores, cand_ids = jax.lax.top_k(approx, cand_k)  # [B, cand_k]
-    cand_vecs = codes[cand_ids].astype(jnp.float32) * scales[cand_ids][..., None]
-    exact = jnp.einsum("bd,bcd->bc", queries, cand_vecs, preferred_element_type=jnp.float32)
-    exact = jnp.where(cand_scores <= NEG_INF / 2, NEG_INF, exact)
-    top_s, sel = jax.lax.top_k(exact, min(k, cand_k))
-    top_i = jnp.take_along_axis(cand_ids, sel, axis=1)
-    return top_s, top_i.astype(jnp.int32)
+    cand_ok = cand_scores > NEG_INF / 2  # unscaled sentinel: safe here
+    return _rescore_candidates(codes, scales, queries, cand_ok, cand_ids, k)
+
+
+def int8_topk(
+    codes: jax.Array,  # [N, D] int8
+    scales: jax.Array,  # [N] f32
+    queries: jax.Array,  # [B, D] f32 (L2-normalized)
+    k: int,
+    valid_n: jax.Array | int | None = None,
+    rescore_k: int = 0,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 MXU scan + optional fp32 exact rescore of top candidates.
+
+    With ``rescore_k > k``: scan selects ``rescore_k`` candidates using the
+    fully-quantized dot, then candidates are dequantized and re-scored
+    against the *fp32* query; the final top-k ordering comes from the
+    rescored values. ``row_mask`` filters rows WITHOUT densifying the corpus
+    (the int8 codes stay int8; masking applies to the scores).
+
+    At ≥ ``_PALLAS_SCAN_MIN_ROWS`` rows the candidate scan runs through the
+    fused Pallas kernel (identical quantized-score semantics incl. the
+    exactness ceiling + fallback) instead of materializing [B, N] scores —
+    12.9× faster at 10M rows. All downstream callers (the fused serving
+    program, masked search, the store) inherit the routing.
+    """
+    n = codes.shape[0]
+    if n < _PALLAS_SCAN_MIN_ROWS:
+        return _int8_topk_xla(
+            codes, scales, queries, k, valid_n, rescore_k=rescore_k, row_mask=row_mask
+        )
+    from .pallas_scan import pallas_topk_int8
+
+    valid = n if valid_n is None else valid_n
+    if rescore_k <= k:
+        return pallas_topk_int8(codes, scales, queries, k, valid, row_mask=row_mask)
+    cand_k = min(rescore_k, n)
+    _, cand_ids = pallas_topk_int8(
+        codes, scales, queries, cand_k, valid, row_mask=row_mask
+    )
+    cand_ok = (cand_ids >= 0) & (cand_ids < jnp.asarray(valid, jnp.int32))
+    cand_ids = jnp.maximum(cand_ids, 0)  # clamp -1 padding for the gather
+    if row_mask is not None:
+        cand_ok = cand_ok & row_mask[cand_ids]
+    return _rescore_candidates_jit(codes, scales, queries, cand_ok, cand_ids, k)
 
 
 # ---------------------------------------------------------------------------

@@ -237,3 +237,29 @@ def test_store_memory_compression(data):
     q8 = VectorStore({"format": "int8", "block_size": 256})
     q8.create_index(_chunks(len(vectors)), vectors)
     assert q8.memory_bytes() < fp.memory_bytes() / 3
+
+
+def test_int8_topk_pallas_routing_parity():
+    """At >= _PALLAS_SCAN_MIN_ROWS the routed scan (Pallas candidates +
+    rescore) must match the XLA body — ids exactly, incl. row_mask and the
+    -1/masked candidate handling."""
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.quant import (
+        _PALLAS_SCAN_MIN_ROWS, _int8_topk_xla, int8_topk, scalar_quantize,
+    )
+
+    rng = np.random.default_rng(7)
+    n = _PALLAS_SCAN_MIN_ROWS  # smallest routed size
+    v = rng.standard_normal((n, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    codes, scales = scalar_quantize(jnp.asarray(v))
+    q = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.5)
+    valid = n - 37  # padding tail
+
+    for rk in (0, 128):
+        s_r, i_r = int8_topk(codes, scales, q, 10, valid, rescore_k=rk, row_mask=mask)
+        s_x, i_x = _int8_topk_xla(codes, scales, q, 10, valid, rescore_k=rk, row_mask=mask)
+        np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_x))
+        np.testing.assert_allclose(np.asarray(s_r), np.asarray(s_x), rtol=1e-5, atol=1e-5)
