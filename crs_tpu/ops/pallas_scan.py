@@ -361,7 +361,6 @@ def pallas_topk_pq_adc(
     b_real = queries.shape[0]
     d = queries.shape[1]
     dsub = d // m_sub
-    kb = min(k, 16)
     qb = min(query_block, _round_up(b_real, 8))
     # per-query LUT [B, M, K] — one einsum on the MXU
     q_sub = queries.reshape(b_real, m_sub, dsub)
@@ -374,6 +373,7 @@ def pallas_topk_pq_adc(
     codes_p = _pad_rows(codes.astype(jnp.int32), block_size)
     np_rows = codes_p.shape[0]
     nblocks = np_rows // block_size
+    kb = _default_kb(k, nblocks)
     bias = jnp.where(
         jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32), 0.0, NEG_INF
     ).astype(jnp.float32).reshape(1, -1)

@@ -264,7 +264,6 @@ def residual_pq_adc_topk(
     n = codes.shape[0]
     qr = jnp.dot(queries, rpq.rotation, preferred_element_type=jnp.float32)
     coarse_lut = jnp.dot(qr, rpq.coarse.T, preferred_element_type=jnp.float32)  # [B, C]
-    scores = coarse_lut[:, coarse_ids]  # [B, N]
     m = codes.shape[1]
     b, d = qr.shape
     dsub = d // m
@@ -272,6 +271,12 @@ def residual_pq_adc_topk(
     lut = jnp.einsum(
         "bmd,mkd->bmk", q_sub, rpq.codebook.centroids, preferred_element_type=jnp.float32
     )
+    if n > _ADC_DENSE_MAX_ROWS:
+        return _blockwise_adc_topk(
+            lut, codes, _adc_bias(n, valid_n, row_mask), k,
+            coarse_lut=coarse_lut, coarse_ids=coarse_ids,
+        )
+    scores = coarse_lut[:, coarse_ids]  # [B, N]
     for mi in range(m):
         scores = scores + lut[:, mi, :][:, codes[:, mi]]
     if valid_n is not None:
@@ -281,6 +286,73 @@ def residual_pq_adc_topk(
         scores = jnp.where(row_mask[None, :], scores, NEG_INF)
     s, i = jax.lax.top_k(scores, min(k, n))
     return s, i.astype(jnp.int32)
+
+
+# dense ADC materializes per-subspace [B, N] gather temps that XLA fails to
+# fuse — 12 × [10M, B] f32 planned 57 GB of HLO temps at 10M rows (compile
+# OOM). Past this row count the scan goes blockwise: O(B · block) memory.
+_ADC_DENSE_MAX_ROWS = 1 << 18
+
+
+@partial(jax.jit, static_argnames=("k", "block_rows"))
+def _blockwise_adc_topk(
+    lut: jax.Array,  # [B, M, K] f32 per-query subspace LUTs
+    codes: jax.Array,  # [N, M] int32
+    bias: jax.Array,  # [N] f32 — 0 for allowed rows, NEG_INF otherwise
+    k: int,
+    coarse_lut: jax.Array | None = None,  # [B, C] (residual PQ)
+    coarse_ids: jax.Array | None = None,  # [N] int32
+    block_rows: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """Memory-lean ADC: lax.scan over row blocks, per-block top-k, one merge.
+
+    Scores and gather temps never exceed [B, block_rows]; the result is
+    identical to the dense form (every block emits its full local top-k and
+    the final merge is exact over the emitted candidates — k winners per
+    query can never exceed k per block).
+    """
+    n, m = codes.shape
+    b = lut.shape[0]
+    nb = -(-n // block_rows)
+    pad = nb * block_rows - n
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+        bias = jnp.pad(bias, (0, pad), constant_values=NEG_INF)
+        if coarse_ids is not None:
+            coarse_ids = jnp.pad(coarse_ids, (0, pad))
+    codes_b = codes.reshape(nb, block_rows, m)
+    bias_b = bias.reshape(nb, block_rows)
+    xs = (codes_b, bias_b)
+    if coarse_ids is not None:
+        xs = xs + (coarse_ids.reshape(nb, block_rows),)
+
+    k_eff = min(k, block_rows)
+
+    def step(base, blk):
+        cb, bb = blk[0], blk[1]
+        s = bb[None, :]
+        if coarse_lut is not None:
+            s = s + coarse_lut[:, blk[2]]
+        for mi in range(m):
+            s = s + lut[:, mi, :][:, cb[:, mi]]
+        top_s, top_i = jax.lax.top_k(s, k_eff)
+        return base + block_rows, (top_s, top_i + base)
+
+    _, (all_s, all_i) = jax.lax.scan(step, jnp.int32(0), xs)
+    flat_s = all_s.transpose(1, 0, 2).reshape(b, nb * k_eff)
+    flat_i = all_i.transpose(1, 0, 2).reshape(b, nb * k_eff)
+    top_s, sel = jax.lax.top_k(flat_s, min(k, flat_s.shape[1]))
+    top_i = jnp.take_along_axis(flat_i, sel, axis=1)
+    return top_s, top_i.astype(jnp.int32)
+
+
+def _adc_bias(n, valid_n, row_mask):
+    allowed = jnp.ones((n,), jnp.bool_)
+    if valid_n is not None:
+        allowed = jnp.arange(n) < jnp.asarray(valid_n, jnp.int32)
+    if row_mask is not None:
+        allowed = allowed & row_mask
+    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -299,6 +371,8 @@ def pq_adc_topk(
     lut = jnp.einsum(
         "bmd,mkd->bmk", q_sub, codebook.centroids, preferred_element_type=jnp.float32
     )  # [B, M, K]
+    if n > _ADC_DENSE_MAX_ROWS:
+        return _blockwise_adc_topk(lut, codes, _adc_bias(n, valid_n, None), k)
     # Gather-and-sum over subspaces: scores [B, N].
     scores = jnp.zeros((b, n), jnp.float32)
     for mi in range(m):  # static, small (8/16) — unrolled into one fused program

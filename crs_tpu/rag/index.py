@@ -257,22 +257,18 @@ class VectorStore:
                     rescore_k=max(self.rescore_k, k),
                 )
             return sharded_topk(self._vectors, q, k, self.n, self.mesh)
-        # Measured routing (round 2, TPU v5e, 1M×384 int8, k=64): the fused
-        # Pallas kernel with kb=4 per-block extraction + exactness fallback
-        # wins at EVERY batch size — 56 vs 67 ms at B=64, 76 vs 174 at
-        # B=512, 94 vs 294 at B=1024 — so the round-1 B≤256 condition is
-        # gone. kb≤16 is exact for k≤16; larger k stays exact through the
-        # ceiling check. Small corpora always use the one-matmul XLA path.
+        # Measured routing (round 2.6, TPU v5e): the fused Pallas kernel
+        # wins at every batch size on real HW, and its per-block winner
+        # count kb now defaults adaptively INSIDE the kernel (flat kb=4 for
+        # large k measured a ~250 ms exactness-fallback tail when a single
+        # block held >4 of one query's top-k — ops/pallas_scan._default_kb).
+        # Small corpora always use the one-matmul XLA path.
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = on_tpu
 
-        def pick_kb(k_req: int) -> int:
-            return min(k_req, 16) if k_req <= 16 else 4
-
         if self.format in ("fp32", "bf16"):
             if use_pallas and self._vectors.shape[0] >= 4 * self.block_size:
-                s, i = pallas_topk(self._vectors, q, k, self.n, self.block_size,
-                                   kb=pick_kb(k))
+                s, i = pallas_topk(self._vectors, q, k, self.n, self.block_size)
             elif self._vectors.shape[0] > 65536:
                 s, i = blockwise_topk(self._vectors, q, k, self.n)
             else:
@@ -282,7 +278,6 @@ class VectorStore:
                 cand_k = min(max(self.rescore_k, k), self.n)
                 _, cand = pallas_topk_int8(
                     self._codes, self._scales, q, cand_k, self.n, self.block_size,
-                    kb=pick_kb(cand_k),
                 )
                 s, i = _rescore(self._codes, self._scales, q, cand, k, self.n)
             else:
