@@ -327,9 +327,13 @@ def _scan_kernel_pq_adc(
     qb = lut_ref.shape[0]
     m_sub = lut_ref.shape[1]
     cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (block_size, num_clusters), 1)
+    # codes arrive in their stored dtype (uint8 for K<=256 — widening OUTSIDE
+    # the kernel would materialize an int32 copy of the whole compressed
+    # corpus, 4x its size); widen per block on the VPU
+    codes_blk = codes_ref[:].astype(jnp.int32)  # [BS, M]
     scores = jnp.zeros((qb, block_size), jnp.float32)
     for m in range(m_sub):
-        onehot = (codes_ref[:, m][:, None] == cluster_ids).astype(jnp.bfloat16)  # [BS, K]
+        onehot = (codes_blk[:, m][:, None] == cluster_ids).astype(jnp.bfloat16)  # [BS, K]
         lut_m = lut_ref[:, m, :].astype(jnp.bfloat16)  # [QB, K]
         scores = scores + jax.lax.dot_general(
             lut_m, onehot,
@@ -370,7 +374,7 @@ def pallas_topk_pq_adc(
     lut = _pad_rows(lut, qb)
     bp = lut.shape[0]
     nq = bp // qb
-    codes_p = _pad_rows(codes.astype(jnp.int32), block_size)
+    codes_p = _pad_rows(codes, block_size)  # stored dtype; kernel widens
     np_rows = codes_p.shape[0]
     nblocks = np_rows // block_size
     kb = _default_kb(k, nblocks)

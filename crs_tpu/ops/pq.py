@@ -126,13 +126,18 @@ def train_pq(
 
 @jax.jit
 def pq_encode(codebook: PQCodebook, vectors: jax.Array) -> jax.Array:
-    """Encode vectors → code ids [N, M] int32 (nearest centroid/subspace)."""
+    """Encode vectors → code ids [N, M] (nearest centroid per subspace).
+
+    Codes are stored as uint8 when K ≤ 256 (the "M bytes/vector" claim is
+    real on-device — int32 codes would quadruple the compressed corpus),
+    int32 otherwise."""
     n, d = vectors.shape
     m, k, dsub = codebook.centroids.shape
     sub = vectors.reshape(n, m, dsub)
     dots = jnp.einsum("nmd,mkd->nmk", sub, codebook.centroids, preferred_element_type=jnp.float32)
     c_norms = jnp.sum(codebook.centroids**2, axis=2)  # [M, K]
-    return jnp.argmax(2.0 * dots - c_norms[None, :, :], axis=2).astype(jnp.int32)
+    ids = jnp.argmax(2.0 * dots - c_norms[None, :, :], axis=2)
+    return ids.astype(jnp.uint8 if k <= 256 else jnp.int32)
 
 
 # ---------------------------------------------------------------------------
