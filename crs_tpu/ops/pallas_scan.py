@@ -39,7 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_topk", "pallas_topk_int8"]
+__all__ = ["pallas_topk", "pallas_topk_int8", "pallas_topk_pq_adc", "pallas_topk_residual_pq_adc"]
 
 # Plain Python scalars: jnp constants would be captured as traced consts,
 # which pallas_call rejects ("captures constants ... pass them as inputs").
@@ -343,6 +343,139 @@ def _scan_kernel_pq_adc(
     col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1) + ic * block_size
     scores = scores + bias_ref[:]  # precomputed 0/NEG_INF padding row
     _extract_block_topk(scores, col, kb, out_s_ref, out_i_ref)
+
+
+def _scan_kernel_residual_pq_adc(
+    bias_ref, coarse_lut_ref, lut_ref, codes_ref, out_s_ref, out_i_ref,
+    *, kb: int, block_size: int, num_clusters: int, num_coarse: int,
+):
+    """Residual (IVF-style) PQ ADC scan:
+    scores[b, n] = coarse_lut[b, cid_n] + Σ_m LUT[b, m, codes[n, m]].
+
+    The coarse id rides as TWO uint8 columns (hi, lo) prepended to the
+    codes array, keeping everything sublane-major; its [QB, C] LUT gather
+    is a chunked one-hot matmul over 256-wide cluster windows — the window
+    membership test is free because an out-of-window id equals no lane of
+    the window's iota.
+    """
+    ic = pl.program_id(1)
+    qb = lut_ref.shape[0]
+    m_sub = lut_ref.shape[1]
+    codes_blk = codes_ref[:].astype(jnp.int32)  # [BS, M+2]
+    cid = codes_blk[:, 0] * 256 + codes_blk[:, 1]  # [BS]
+    lane256 = jax.lax.broadcasted_iota(jnp.int32, (block_size, 256), 1)
+    scores = jnp.zeros((qb, block_size), jnp.float32)
+    # the coarse term carries the LARGE magnitudes (centroid dot products);
+    # bf16 here loses ~0.4% — enough to reorder candidates whose difference
+    # is a small residual term (measured: real-chip ids diverged from the
+    # f32 XLA oracle) — so the coarse one-hot dots run in f32. The residual
+    # dots stay bf16: their operands are small and on a common scale.
+    for c0 in range(0, num_coarse, 256):
+        onehot = ((cid - c0)[:, None] == lane256).astype(jnp.float32)  # [BS, 256]
+        lut_c = coarse_lut_ref[:, c0:c0 + 256]  # [QB, 256] f32
+        scores = scores + jax.lax.dot_general(
+            lut_c, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (block_size, num_clusters), 1)
+    for m in range(m_sub):
+        onehot = (codes_blk[:, m + 2][:, None] == cluster_ids).astype(jnp.bfloat16)
+        lut_m = lut_ref[:, m, :].astype(jnp.bfloat16)
+        scores = scores + jax.lax.dot_general(
+            lut_m, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1) + ic * block_size
+    scores = scores + bias_ref[:]
+    _extract_block_topk(scores, col, kb, out_s_ref, out_i_ref)
+
+
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block"))
+def pallas_topk_residual_pq_adc(
+    rotation: jax.Array,  # [D, D] f32 (OPQ)
+    coarse: jax.Array,  # [C, D] f32 coarse centroids (rotated space)
+    codebook_centroids: jax.Array,  # [M, K, Dsub] f32 (residual space)
+    codes_ext: jax.Array,  # [N, M+2] uint8 — cols 0/1 = coarse id hi/lo
+    queries: jax.Array,  # [B, D] f32
+    k: int,
+    valid_n: jax.Array | int,
+    block_size: int = 2048,
+    query_block: int = 128,
+    row_mask: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused residual-PQ ADC scan: coarse term + residual ADC in one pass
+    over the compressed corpus (M+2 bytes/vector of HBM traffic). Exact
+    w.r.t. ADC scores via the same ceiling + fallback as the other scans.
+    Build ``codes_ext`` with :func:`crs_tpu.ops.pq.residual_codes_ext`.
+    """
+    n = codes_ext.shape[0]
+    m_sub = codes_ext.shape[1] - 2
+    num_clusters = codebook_centroids.shape[1]
+    num_coarse = coarse.shape[0]
+    assert num_coarse % 256 == 0, "coarse cluster count must be a multiple of 256"
+    b_real = queries.shape[0]
+    d = queries.shape[1]
+    dsub = d // m_sub
+    qb = min(query_block, _round_up(b_real, 8))
+    qr = jnp.dot(queries, rotation, preferred_element_type=jnp.float32)
+    coarse_lut = jnp.dot(qr, coarse.T, preferred_element_type=jnp.float32)  # [B, C]
+    q_sub = qr.reshape(b_real, m_sub, dsub)
+    lut = jnp.einsum(
+        "bmd,mkd->bmk", q_sub, codebook_centroids, preferred_element_type=jnp.float32
+    )
+    lut = _pad_rows(lut, qb)
+    coarse_lut_p = _pad_rows(coarse_lut, qb)
+    bp = lut.shape[0]
+    nq = bp // qb
+    codes_p = _pad_rows(codes_ext, block_size)
+    np_rows = codes_p.shape[0]
+    nblocks = np_rows // block_size
+    kb = _default_kb(k, nblocks)
+    allowed = jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32)
+    if row_mask is not None:
+        allowed = allowed & _pad_rows(row_mask, block_size)
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
+
+    out_s, out_i = pl.pallas_call(
+        partial(
+            _scan_kernel_residual_pq_adc, kb=kb, block_size=block_size,
+            num_clusters=num_clusters, num_coarse=num_coarse,
+        ),
+        grid=(nq, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, block_size), lambda iq, ic: (0, ic), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, num_coarse), lambda iq, ic: (iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic: (iq, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_size, m_sub + 2), lambda iq, ic: (ic, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.float32),
+            jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(bias, coarse_lut_p, lut, codes_p)
+    top_s, top_i = _finalize(out_s, out_i, b_real, k)
+    if k <= kb:
+        return top_s, top_i
+
+    def fallback():
+        from .pq import ResidualPQ, PQCodebook, residual_pq_adc_topk
+
+        cid = codes_ext[:, 0].astype(jnp.int32) * 256 + codes_ext[:, 1].astype(jnp.int32)
+        rpq = ResidualPQ(rotation=rotation, coarse=coarse, codebook=PQCodebook(codebook_centroids))
+        return residual_pq_adc_topk(
+            rpq, cid, codes_ext[:, 2:], queries, k, valid_n, row_mask=row_mask
+        )
+
+    return _exact_or_fallback(
+        _block_ceilings(out_s, b_real, kb), top_s, top_i, fallback
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "block_size", "query_block"))

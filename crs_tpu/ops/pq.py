@@ -36,6 +36,7 @@ import numpy as np
 __all__ = [
     "PQCodebook", "train_pq", "pq_encode", "pq_adc_topk", "kmeans",
     "ResidualPQ", "train_opq", "train_residual_pq", "residual_pq_encode",
+    "residual_codes_ext",
     "residual_pq_adc_topk",
 ]
 
@@ -248,11 +249,27 @@ def _nearest(centroids: jax.Array, points: jax.Array) -> jax.Array:
 
 @jax.jit
 def residual_pq_encode(rpq: ResidualPQ, vectors: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Encode → (coarse_ids [N] int32, codes [N, M] int32)."""
+    """Encode → (coarse_ids [N] int32, codes [N, M] uint8 for K ≤ 256)."""
     xr = jnp.dot(vectors, rpq.rotation, preferred_element_type=jnp.float32)
     cids = _nearest(rpq.coarse, xr)
     codes = pq_encode(rpq.codebook, xr - rpq.coarse[cids])
     return cids, codes
+
+
+def residual_codes_ext(coarse_ids: jax.Array, codes: jax.Array) -> jax.Array:
+    """[N, M+2] uint8: coarse id split into (hi, lo) bytes + residual codes.
+
+    The layout the fused residual-PQ Pallas scan consumes
+    (:func:`crs_tpu.ops.pallas_scan.pallas_topk_residual_pq_adc`) — the
+    whole compressed row, coarse id included, stays byte-wide and
+    sublane-major. Requires C ≤ 65536 and K ≤ 256.
+    """
+    cid = coarse_ids.astype(jnp.int32)
+    hi = (cid // 256).astype(jnp.uint8)
+    lo = (cid % 256).astype(jnp.uint8)
+    return jnp.concatenate(
+        [hi[:, None], lo[:, None], codes.astype(jnp.uint8)], axis=1
+    )
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -288,9 +288,22 @@ class VectorStore:
         else:  # pq: ADC scan for candidates, int8-dequant rescore
             cand_k = min(max(self.rescore_k, k), self.n)
             if self._rpq is not None:
-                _, cand = residual_pq_adc_topk(
-                    self._rpq, self._pq_coarse_ids, self._pq_codes, q, cand_k, self.n
-                )
+                if (
+                    use_pallas
+                    and self._pq_codes.shape[0] >= 4 * self.block_size
+                    and self._rpq.coarse.shape[0] % 256 == 0
+                ):
+                    from ..ops.pallas_scan import pallas_topk_residual_pq_adc
+
+                    _, cand = pallas_topk_residual_pq_adc(
+                        self._rpq.rotation, self._rpq.coarse,
+                        self._rpq.codebook.centroids, self._residual_ext(),
+                        q, cand_k, self.n, self.block_size,
+                    )
+                else:
+                    _, cand = residual_pq_adc_topk(
+                        self._rpq, self._pq_coarse_ids, self._pq_codes, q, cand_k, self.n
+                    )
             elif use_pallas and self._pq_codes.shape[0] >= 4 * self.block_size:
                 _, cand = pallas_topk_pq_adc(
                     self._pq_codebook.centroids, self._pq_codes, q, cand_k,
@@ -300,6 +313,16 @@ class VectorStore:
                 _, cand = pq_adc_topk(self._pq_codebook, self._pq_codes, q, cand_k, self.n)
             s, i = _rescore(self._codes, self._scales, q, cand, k, self.n)
         return s, i
+
+    def _residual_ext(self) -> jax.Array:
+        """Cached [N, M+2] uint8 layout for the fused residual-PQ scan
+        (coarse id hi/lo bytes + residual codes; ops.pq.residual_codes_ext)."""
+        if getattr(self, "_pq_ext_n", -1) != self.n:
+            from ..ops.pq import residual_codes_ext
+
+            self._pq_codes_ext = residual_codes_ext(self._pq_coarse_ids, self._pq_codes)
+            self._pq_ext_n = self.n
+        return self._pq_codes_ext
 
     def gather_vectors_dev(self, rows: jax.Array) -> jax.Array:
         """Device-level dense-row gather (for MMR), no host sync."""

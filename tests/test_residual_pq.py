@@ -244,3 +244,37 @@ def test_blockwise_residual_adc_matches_dense():
     finally:
         pq_mod._ADC_DENSE_MAX_ROWS = old
     np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_b)[:, :10])
+
+
+def test_pallas_residual_adc_matches_xla():
+    """The fused residual-PQ kernel (interpret mode on CPU) must match the
+    XLA residual ADC: same candidate ids for k <= kb, with masks."""
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pallas_scan import pallas_topk_residual_pq_adc
+    from crs_tpu.ops.pq import (
+        residual_codes_ext, residual_pq_adc_topk, residual_pq_encode,
+        train_residual_pq,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, b = 3000, 64, 5
+    v = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    rpq = train_residual_pq(jax.random.PRNGKey(1), v, coarse_clusters=256,
+                            num_subspaces=8, num_clusters=16, num_iters=3,
+                            opq_iters=1, coarse_iters=3)
+    cids, codes = residual_pq_encode(rpq, v)
+    ext = residual_codes_ext(cids, codes)
+    assert ext.dtype == jnp.uint8 and ext.shape == (n, 10)
+    q = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.8)
+    valid = n - 17
+
+    s_x, i_x = residual_pq_adc_topk(rpq, cids, codes, q, 8, valid, row_mask=mask)
+    s_p, i_p = pallas_topk_residual_pq_adc(
+        rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext, q, 8, valid,
+        block_size=512, row_mask=mask,
+    )
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p), rtol=2e-2, atol=2e-2)

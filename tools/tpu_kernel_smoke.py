@@ -111,10 +111,36 @@ def main() -> int:
         want = np.asarray(emulate_decode_attention_int8(q, kc, ks, vc, vs, valid))
         np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
+    def scan_residual_pq():
+        from crs_tpu.ops.pallas_scan import pallas_topk_residual_pq_adc
+        from crs_tpu.ops.pq import (
+            residual_codes_ext, residual_pq_adc_topk, residual_pq_encode,
+            train_residual_pq,
+        )
+
+        v = jnp.asarray(rng.standard_normal((3000, 64)).astype(np.float32))
+        rpq = train_residual_pq(
+            jax.random.PRNGKey(1), v, coarse_clusters=256, num_subspaces=8,
+            num_clusters=16, num_iters=3, opq_iters=1, coarse_iters=3,
+        )
+        cids, codes = residual_pq_encode(rpq, v)
+        q = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+        s, i = pallas_topk_residual_pq_adc(
+            rpq.rotation, rpq.coarse, rpq.codebook.centroids,
+            residual_codes_ext(cids, codes), q, 8, 3000, block_size=512,
+        )
+        s2, i2 = residual_pq_adc_topk(rpq, cids, codes, q, 8, 3000)
+        # real-HW bf16 residual dots can swap near-ties vs the f32 oracle;
+        # candidates are rescored downstream — require high set overlap
+        i, i2 = np.asarray(i), np.asarray(i2)
+        overlap = np.mean([len(set(a) & set(b)) / 8 for a, b in zip(i, i2)])
+        assert overlap >= 0.85, (overlap, i, i2)
+
     for name, fn in (
         ("pallas_topk(fp32)", scan_fp32),
         ("pallas_topk_int8", scan_int8),
         ("pallas_topk_pq_adc", scan_pq),
+        ("pallas_topk_residual_pq_adc", scan_residual_pq),
         ("q4_matmul", q4),
         ("decode_attention_int8", decode_attn),
     ):
