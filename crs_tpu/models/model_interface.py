@@ -180,7 +180,10 @@ class JaxModel(ModelInterface):
             )
         elif self.quantization not in (None, "", "none", "bf16", "fp16"):
             raise ValueError(f"unknown quantization: {self.quantization}")
-        if self.fuse_projections and self.quantization not in (None, "", "none"):
+        if self.fuse_projections:
+            # fuse_qkv_params handles plain bf16 arrays and quantized pytrees
+            # alike — gating on quantization made the flag a silent no-op for
+            # unquantized models (ADVICE r2)
             from .transformer import fuse_qkv_params
 
             self.params = fuse_qkv_params(self.params)

@@ -262,9 +262,16 @@ def residual_codes_ext(coarse_ids: jax.Array, codes: jax.Array) -> jax.Array:
     The layout the fused residual-PQ Pallas scan consumes
     (:func:`crs_tpu.ops.pallas_scan.pallas_topk_residual_pq_adc`) — the
     whole compressed row, coarse id included, stays byte-wide and
-    sublane-major. Requires C ≤ 65536 and K ≤ 256.
+    sublane-major. Requires C ≤ 65536 and K ≤ 256 — enforced here: a coarse
+    id ≥ 65536 would silently wrap to a wrong two-byte pair and produce
+    wrong retrieval scores downstream (ADVICE r2).
     """
     cid = coarse_ids.astype(jnp.int32)
+    if cid.size and int(jnp.max(cid)) >= 65536:
+        raise ValueError(
+            "residual_codes_ext: coarse ids must be < 65536 (two uint8 bytes); "
+            "reduce pq_coarse_clusters or use the unfused ADC path"
+        )
     hi = (cid // 256).astype(jnp.uint8)
     lo = (cid % 256).astype(jnp.uint8)
     return jnp.concatenate(
@@ -384,6 +391,7 @@ def pq_adc_topk(
     queries: jax.Array,  # [B, D] f32
     k: int,
     valid_n: jax.Array | int | None = None,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
 ) -> Tuple[jax.Array, jax.Array]:
     """ADC scan: approximate dot(query, vec) = Σ_m LUT[b, m, codes[n, m]]."""
     n, m = codes.shape
@@ -394,7 +402,7 @@ def pq_adc_topk(
         "bmd,mkd->bmk", q_sub, codebook.centroids, preferred_element_type=jnp.float32
     )  # [B, M, K]
     if n > _ADC_DENSE_MAX_ROWS:
-        return _blockwise_adc_topk(lut, codes, _adc_bias(n, valid_n, None), k)
+        return _blockwise_adc_topk(lut, codes, _adc_bias(n, valid_n, row_mask), k)
     # Gather-and-sum over subspaces: scores [B, N].
     scores = jnp.zeros((b, n), jnp.float32)
     for mi in range(m):  # static, small (8/16) — unrolled into one fused program
@@ -402,5 +410,7 @@ def pq_adc_topk(
     if valid_n is not None:
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         scores = jnp.where(row_ids < valid_n, scores, NEG_INF)
+    if row_mask is not None:
+        scores = jnp.where(row_mask[None, :], scores, NEG_INF)
     s, i = jax.lax.top_k(scores, min(k, n))
     return s, i.astype(jnp.int32)

@@ -284,14 +284,19 @@ class LexicalLSAEncoder:
         self._idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
         doc_token_counts = np.add.reduceat(counts, offsets[:-1]) if len(counts) else np.ones(n)
         self._avgdl = float(np.mean(doc_token_counts)) if n else 1.0
+        # fit subsample: shared by the bigram-IDF cap and the LSA basis — the
+        # cap's pure-Python bigram loop over the FULL corpus made index build
+        # O(corpus) in slow host code at scale (ADVICE r2); a capped bucket
+        # missed by subsampling only keeps its (higher) raw IDF
+        sub = np.linspace(0, n - 1, min(n, self.max_fit_docs)).astype(int)
+        sub = np.unique(sub)
+        sub_texts = [texts[i] for i in sub]
         if self.bigram_idf_cap:
-            self._cap_bigram_idf(texts)
+            self._cap_bigram_idf(sub_texts)
         self.fitted = True
 
         # weighted, row-normalized doc matrix on the fit subsample
-        sub = np.linspace(0, n - 1, min(n, self.max_fit_docs)).astype(int)
-        sub = np.unique(sub)
-        w_indices, w_weights, w_offsets = self._weighted_csr([texts[i] for i in sub])
+        w_indices, w_weights, w_offsets = self._weighted_csr(sub_texts)
         s = len(sub)
         dense = np.zeros((s, self.num_features), np.float32)
         for row in range(s):

@@ -278,3 +278,52 @@ def test_pallas_residual_adc_matches_xla():
     )
     np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
     np.testing.assert_allclose(np.asarray(s_x), np.asarray(s_p), rtol=2e-2, atol=2e-2)
+
+
+def test_residual_ext_cache_invalidated_on_reindex(corpus):
+    """ADVICE r2 (medium): re-indexing a same-row-count corpus must not serve
+    stale fused-scan codes to pallas_topk_residual_pq_adc."""
+    from crs_tpu.rag.index import VectorStore
+
+    x, _ = corpus
+    store = VectorStore({
+        "format": "pq", "block_size": 256, "pq_subspaces": 8,
+        "pq_coarse_clusters": 128, "pq_iters": 5, "pq_opq_iters": 1,
+    })
+    store.create_index([f"d{i}" for i in range(2000)], x[:2000])
+    ext_a = np.asarray(store._residual_ext())
+    store.create_index([f"e{i}" for i in range(2000)], x[2000:4000])
+    ext_b = np.asarray(store._residual_ext())
+    assert ext_a.shape == ext_b.shape
+    assert not np.array_equal(ext_a, ext_b)
+
+
+def test_pq_codes_dtype_preserved_after_load(tmp_path, corpus):
+    """ADVICE r2: load() must keep the stored uint8 code dtype (int32 would
+    quadruple the compressed corpus on device)."""
+    from crs_tpu.rag.index import VectorStore
+
+    x, _ = corpus
+    store = VectorStore({
+        "format": "pq", "block_size": 256, "pq_subspaces": 8,
+        "pq_coarse_clusters": 128, "pq_iters": 5, "pq_opq_iters": 1,
+    })
+    store.create_index([f"d{i}" for i in range(2000)], x[:2000])
+    assert store._pq_codes.dtype == np.uint8
+    store.save(str(tmp_path))
+    store2 = VectorStore({"format": "pq"})
+    store2.load(str(tmp_path))
+    assert store2._pq_codes.dtype == np.uint8
+
+
+def test_residual_codes_ext_rejects_wide_coarse_ids():
+    """ADVICE r2: coarse ids >= 65536 cannot fit two uint8 bytes — must raise
+    instead of silently truncating into wrong retrieval scores."""
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pq import residual_codes_ext
+
+    cids = jnp.asarray([0, 70000], jnp.int32)
+    codes = jnp.zeros((2, 4), jnp.uint8)
+    with pytest.raises(ValueError):
+        residual_codes_ext(cids, codes)
