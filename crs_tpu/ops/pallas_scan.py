@@ -487,6 +487,7 @@ def pallas_topk_pq_adc(
     valid_n: jax.Array | int,
     block_size: int = 2048,
     query_block: int = 128,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused PQ ADC scan (the BASELINE.json north-star kernel): per-query
     subspace LUTs on the MXU, blockwise score accumulation via one-hot
@@ -511,9 +512,10 @@ def pallas_topk_pq_adc(
     np_rows = codes_p.shape[0]
     nblocks = np_rows // block_size
     kb = _default_kb(k, nblocks)
-    bias = jnp.where(
-        jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32), 0.0, NEG_INF
-    ).astype(jnp.float32).reshape(1, -1)
+    allowed = jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32)
+    if row_mask is not None:
+        allowed = allowed & _pad_rows(row_mask, block_size)
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
 
     out_s, out_i = pl.pallas_call(
         partial(_scan_kernel_pq_adc, kb=kb, block_size=block_size, num_clusters=num_clusters),
@@ -540,7 +542,10 @@ def pallas_topk_pq_adc(
     def fallback():
         from .pq import PQCodebook, pq_adc_topk
 
-        return pq_adc_topk(PQCodebook(codebook_centroids), codes, queries, k, valid_n)
+        return pq_adc_topk(
+            PQCodebook(codebook_centroids), codes, queries, k, valid_n,
+            row_mask=row_mask,
+        )
 
     return _exact_or_fallback(
         _block_ceilings(out_s, b_real, kb), top_s, top_i, fallback

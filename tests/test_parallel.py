@@ -161,3 +161,113 @@ def test_sharded_store_persistence_reshards(mesh8, tmp_path):
     store2.load(str(tmp_path))
     s2, i2 = store2.search_batch(queries, top_k=4)
     np.testing.assert_array_equal(i1, i2)
+
+
+# -- round 3 (VERDICT r2 #1): Pallas kernels inside the shard_map bodies ----
+# With per_shard >= 4*block_size the per-shard scans route through the SAME
+# fused kernels as the single-chip store (interpret mode on the CPU mesh, so
+# parity here exercises the exact multi-chip code path).
+
+
+def test_sharded_topk_routes_through_kernel(mesh8):
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.topk import exact_topk
+    from crs_tpu.parallel.sharded_index import (
+        _use_kernel, shard_corpus, sharded_topk,
+    )
+
+    rng = np.random.default_rng(10)
+    n, bs = 2048, 64  # per_shard = 256 = 4*block_size -> kernel path
+    vectors = _normalized(rng, n, 32)
+    queries = _normalized(rng, 4, 32)
+    sharded, valid_n = shard_corpus(vectors, mesh8)
+    assert _use_kernel(sharded.shape[0] // 8, bs)
+    s, i = sharded_topk(sharded, jnp.asarray(queries), 10, valid_n, mesh8,
+                        block_size=bs)
+    ref_s, ref_i = exact_topk(jnp.asarray(vectors), jnp.asarray(queries), 10, n)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), atol=1e-5)
+
+
+def test_sharded_topk_kernel_with_mask(mesh8):
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.topk import exact_topk
+    from crs_tpu.parallel.sharded_index import shard_corpus, sharded_topk
+
+    rng = np.random.default_rng(11)
+    n, bs = 2048, 64
+    vectors = _normalized(rng, n, 32)
+    queries = _normalized(rng, 3, 32)
+    mask = (np.arange(n) % 3 == 0)
+    sharded, valid_n = shard_corpus(vectors, mesh8)
+    mask_p = np.zeros(sharded.shape[0], bool)
+    mask_p[:n] = mask
+    s, i = sharded_topk(sharded, jnp.asarray(queries), 8, valid_n, mesh8,
+                        row_mask=jnp.asarray(mask_p), block_size=bs)
+    ref_s, ref_i = exact_topk(jnp.asarray(vectors), jnp.asarray(queries), 8, n,
+                              row_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+    assert (np.asarray(i) % 3 == 0).all()
+
+
+def test_sharded_int8_routes_through_kernel(mesh8):
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.topk import exact_topk
+    from crs_tpu.parallel.sharded_index import shard_corpus, sharded_topk_int8
+
+    rng = np.random.default_rng(12)
+    n, bs = 2048, 64
+    vectors = _normalized(rng, n, 32)
+    queries = _normalized(rng, 4, 32)
+    amax = np.max(np.abs(vectors), axis=-1)
+    scales = np.maximum(amax, 1e-12) / 127.0
+    codes = np.clip(np.round(vectors / scales[:, None]), -127, 127).astype(np.int8)
+    codes_d, valid_n = shard_corpus(codes, mesh8)
+    scales_d, _ = shard_corpus(scales.astype(np.float32), mesh8)
+    s, i = sharded_topk_int8(codes_d, scales_d, jnp.asarray(queries), 5,
+                             valid_n, mesh8, rescore_k=32, block_size=bs)
+    _, ref_i = exact_topk(jnp.asarray(vectors), jnp.asarray(queries), 5, n)
+    i, ref_i = np.asarray(i), np.asarray(ref_i)
+    recall = np.mean([len(set(i[r]) & set(ref_i[r])) / 5 for r in range(4)])
+    assert recall >= 0.9, recall
+
+
+def test_sharded_rpq_kernel_route_matches_single_device(mesh8):
+    """Residual-PQ shard bodies route through the fused ADC kernel (coarse
+    %256==0 gate) and match the single-device fused kernel result exactly —
+    same codebooks, same codes, same blockwise math."""
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pallas_scan import pallas_topk_residual_pq_adc
+    from crs_tpu.ops.pq import (
+        residual_codes_ext, residual_pq_encode, train_residual_pq,
+    )
+    from crs_tpu.parallel.sharded_index import (
+        shard_corpus, sharded_topk_residual_pq,
+    )
+    import jax
+
+    rng = np.random.default_rng(13)
+    n, bs = 2048, 64
+    vectors = _normalized(rng, n, 32)
+    queries = jnp.asarray(_normalized(rng, 4, 32))
+    rpq = train_residual_pq(
+        jax.random.PRNGKey(0), jnp.asarray(vectors), num_subspaces=8,
+        coarse_clusters=256, num_iters=6, opq_iters=1, coarse_iters=4,
+    )
+    cids, codes = residual_pq_encode(rpq, jnp.asarray(vectors))
+    ext = residual_codes_ext(cids, codes)
+    s_ref, i_ref = pallas_topk_residual_pq_adc(
+        rpq.rotation, rpq.coarse, rpq.codebook.centroids,
+        jnp.asarray(ext), queries, 8, n, bs,
+    )
+    ext_d, valid_n = shard_corpus(np.asarray(ext), mesh8)
+    s, i = sharded_topk_residual_pq(
+        rpq, ext_d, None, None, queries, 8, valid_n, mesh8,
+        rescore_k=8, block_size=bs,
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-4)

@@ -169,3 +169,112 @@ def test_mesh_masked_search_no_densify():
     finally:
         index_mod.VectorStore._dense_vectors = orig
     assert not called["dense"]
+
+
+def test_row_mask_vectorized_no_per_query_python():
+    """VERDICT r2 weak #4: after the first masked query per key, the row
+    mask must come from cached typed columns — re-querying must NOT iterate
+    the metadata dicts again (O(N) Python per query at 10M rows)."""
+    from crs_tpu.rag.index import VectorStore
+
+    class _Poison(list):
+        armed = False
+
+        def __iter__(self):
+            if self.armed:
+                raise AssertionError("per-query O(N) metadata iteration")
+            return super().__iter__()
+
+    rng = np.random.default_rng(9)
+    n = 256
+    emb = rng.standard_normal((n, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    chunks = [_Chunk(i, "alpha" if i % 3 == 0 else "beta") for i in range(n)]
+    store = VectorStore({"format": "fp32", "block_size": 64})
+    store.create_index(chunks, emb)
+    q = emb[:2]
+    s1, i1 = store.search_batch(q, top_k=4, where={"topic": "alpha"})
+    # arm the poison: subsequent masked queries must hit the column cache
+    poisoned = _Poison(store.metadatas)
+    poisoned.armed = True
+    store.metadatas = poisoned
+    s2, i2 = store.search_batch(q, top_k=4, where={"topic": "alpha"})
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_row_mask_typed_columns_semantics():
+    """Numeric / string / None / type-mismatch equality matches the old
+    dict-loop semantics exactly."""
+    from crs_tpu.rag.chunking import Chunk
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(10)
+    n = 64
+    emb = rng.standard_normal((n, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    chunks = [
+        Chunk(text=f"d{i}", chunk_id=f"c{i}", tokens=i % 4,
+              page_number=(i % 5) if i % 2 == 0 else None,
+              section=f"s{i % 3}")
+        for i in range(n)
+    ]
+    store = VectorStore({"format": "fp32", "block_size": 64})
+    store.create_index(chunks, emb)
+
+    def old_mask(where):
+        return {
+            idx for idx, md in enumerate(store.metadatas)
+            if all(md.get(k) == v for k, v in where.items())
+        }
+
+    for where in (
+        {"tokens": 2},                       # numeric equality
+        {"section": "s1"},                   # string equality
+        {"tokens": 2, "section": "s0"},      # conjunction
+        {"page_number": -1},                 # None stored as -1 sentinel
+        {"tokens": "2"},                     # type mismatch -> no rows
+        {"nonexistent_key": 5},              # absent key -> no rows
+    ):
+        mask, n_allowed = store._row_mask(where)
+        got = set(np.flatnonzero(mask[:n]))
+        assert got == old_mask(where), (where, got, old_mask(where))
+        assert n_allowed == len(got)
+
+
+def test_where_document_exhaustive_heavy_filter():
+    """VERDICT r2 weak #5: a substring matching <1% of the corpus must
+    still return top_k results (fixed over-fetch caps under-returned)."""
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(11)
+    n = 1024
+    emb = rng.standard_normal((n, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    # only 8 of 1024 docs (<1%) contain the needle; make them the WORST
+    # matches so no fixed over-fetch window would find them
+    texts = [
+        f"document {i} needle" if i >= n - 8 else f"document {i}"
+        for i in range(n)
+    ]
+    store = VectorStore({"format": "fp32", "block_size": 64})
+    store.create_index(texts, emb)
+    q = emb[0]  # closest to row 0, far from the tail needle rows
+    res = store.search(q, top_k=5, where_document="needle")
+    assert len(res["ids"][0]) == 5
+    assert all("needle" in d for d in res["documents"][0])
+
+
+def test_where_document_fewer_matches_than_k():
+    """If the whole corpus has fewer matches than top_k, return them all
+    (exhaustive, no infinite widen loop)."""
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(12)
+    n = 300
+    emb = rng.standard_normal((n, 16)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    texts = [f"doc {i} rare" if i in (7, 250) else f"doc {i}" for i in range(n)]
+    store = VectorStore({"format": "fp32", "block_size": 64})
+    store.create_index(texts, emb)
+    res = store.search(emb[0], top_k=5, where_document="rare")
+    assert sorted(res["documents"][0]) == ["doc 250 rare", "doc 7 rare"]
