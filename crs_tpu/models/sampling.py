@@ -71,7 +71,7 @@ def _sample(logits: jax.Array, key: jax.Array, sp: SamplingParams) -> jax.Array:
     return jax.random.categorical(key, logits, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "sp"))
+@partial(jax.jit, static_argnames=("cfg", "sp", "mesh"))
 def generate_tokens(
     params,
     cfg: TransformerConfig,
@@ -79,6 +79,7 @@ def generate_tokens(
     prompt_mask: jax.Array,  # [B, S] bool
     key: jax.Array,
     sp: SamplingParams,
+    mesh=None,  # dp×tp Mesh: int8-KV kernel partitioning (sharded serving)
 ) -> Tuple[jax.Array, jax.Array]:
     """Generate. Returns (tokens [B, max_new_tokens], lengths [B]).
 
@@ -103,7 +104,7 @@ def generate_tokens(
         token = jnp.where(done, jnp.int32(sp.pad_id), token.astype(jnp.int32))
         new_done = done | (token == sp.eos_id)
         seen = seen.at[jnp.arange(b), token].set(True)
-        next_logits, cache = decode_step(params, cfg, token, cache)
+        next_logits, cache = decode_step(params, cfg, token, cache, mesh=mesh)
         return (cache, next_logits, seen, new_done), (token, done)
 
     keys = jax.random.split(key, sp.max_new_tokens)

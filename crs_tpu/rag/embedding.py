@@ -109,14 +109,18 @@ class HashedEncoder:
 
         return featurize(text, self.num_features)
 
-    def encode_dev(self, texts: Sequence[str], pad_to: int = 0) -> jax.Array:
+    def encode_dev(
+        self, texts: Sequence[str], pad_to: int = 0, is_query: bool = False
+    ) -> jax.Array:
         """Encode texts → device array [len(texts), dim], no host sync.
 
         ``pad_to`` pads the batch dim so every call through a given batch
         size compiles exactly once (each new shape costs a 20–40s remote
         compile on the axon tunnel). Featurization runs through the native
         C++ hot path when available (crs_tpu.rag.hashed_features), with an
-        identical-output Python fallback.
+        identical-output Python fallback. ``is_query`` is accepted for
+        interface parity with the lexical encoder (no query-side behavior
+        here).
         """
         from .hashed_features import featurize_batch
 
@@ -183,6 +187,12 @@ class LexicalLSAEncoder:
         max_fit_docs: int = 2048,
         char_weight: float = 1.0,
         bigram_idf_cap: bool = True,
+        expansion_terms: int = 0,
+        expansion_weight: float = 0.3,
+        expansion_sim_threshold: float = 0.35,
+        expansion_dims: int = 128,
+        expansion_window: int = 8,
+        expansion_vocab: int = 2048,
     ):
         self.dim = dim
         self.num_features = num_features
@@ -191,6 +201,21 @@ class LexicalLSAEncoder:
         self.bm25_k1 = float(bm25_k1)
         self.bm25_b = float(bm25_b)
         self.max_fit_docs = int(max_fit_docs)
+        # Corpus-trained semantic QUERY expansion (round 3, VERDICT r2 weak
+        # #2 / next #4): PPMI over windowed word co-occurrence on the fit
+        # subsample, factorized (eigh) into word vectors; at encode time a
+        # query word pulls its top-``expansion_terms`` neighbors (cosine ≥
+        # ``expansion_sim_threshold``) into the BM25 vector at
+        # ``expansion_weight``·sim·idf. 0 = off (the shipping default is
+        # set from the measured quality tables). Docs are NEVER expanded —
+        # expansion is a recall device for short queries.
+        self.expansion_terms = int(expansion_terms)
+        self.expansion_weight = float(expansion_weight)
+        self.expansion_sim_threshold = float(expansion_sim_threshold)
+        self.expansion_dims = int(expansion_dims)
+        self.expansion_window = int(expansion_window)
+        self.expansion_vocab = int(expansion_vocab)
+        self._exp_map: Dict[bytes, list] = {}
         # <1 downweights char 3/4-gram features relative to word uni/bigrams
         # in the fitted BM25 weighting: a short entity query ("what is
         # GPTQ?") emits ~6x more char-gram than word features, and at equal
@@ -316,9 +341,109 @@ class LexicalLSAEncoder:
         if proj.shape[1] < self.dim:  # rank-deficient tiny corpora: zero-pad
             proj = np.pad(proj, ((0, 0), (0, self.dim - proj.shape[1])))
         self._set_projection(proj)
+        if self.expansion_terms > 0:
+            self._fit_expansion(sub_texts)
         logger.info(
             "LexicalLSAEncoder fitted: %d docs (%d in basis), avgdl=%.1f",
             n, s, self._avgdl,
+        )
+
+    def _fit_expansion(self, texts: Sequence[str]) -> None:
+        """PPMI + eigendecomposition word vectors → per-word expansion lists.
+
+        Distance-weighted co-occurrence in a ±window over the fit-subsample
+        token streams; PPMI sparsifies to genuinely associated pairs; the
+        top-``expansion_dims`` eigenbasis of the (symmetric) PPMI matrix
+        gives word vectors whose cosine ranks expansion candidates. The
+        neighbor lists are precomputed here so query encode stays O(query
+        length); vocab is capped (count ≥ 3, top ``expansion_vocab``) to
+        bound the fit cost like the rest of fit's subsampling.
+        """
+        from collections import Counter
+
+        from .hashed_features import _fnv1a, _tokenize_bytes
+
+        docs = [_tokenize_bytes(t) for t in texts]
+        cnt = Counter(w for d in docs for w in d)
+        vocab = [w for w, c in cnt.most_common(self.expansion_vocab) if c >= 3]
+        v = len(vocab)
+        if v < 16:
+            return
+        w2i = {w: i for i, w in enumerate(vocab)}
+        cooc = np.zeros((v, v), np.float32)
+        win = self.expansion_window
+        for d in docs:
+            idxs = [w2i.get(w, -1) for w in d]
+            for i, a in enumerate(idxs):
+                if a < 0:
+                    continue
+                for j in range(i + 1, min(i + 1 + win, len(idxs))):
+                    b = idxs[j]
+                    if b < 0:
+                        continue
+                    wgt = 1.0 / (j - i)
+                    cooc[a, b] += wgt
+                    cooc[b, a] += wgt
+        total = max(float(cooc.sum()), 1e-9)
+        marg = np.maximum(cooc.sum(axis=1), 1e-9)
+        ppmi = np.maximum(
+            np.log(np.maximum(cooc * total, 1e-12) / np.outer(marg, marg)), 0.0
+        ).astype(np.float32)
+        # symmetric eigh: host f64 for small vocabs, device f32 above
+        # (v ≤ 2048 either way — bounded like the rest of fit)
+        if v <= 512:
+            vals, vecs = np.linalg.eigh(ppmi.astype(np.float64))
+        else:
+            dv, dc = jnp.linalg.eigh(jnp.asarray(ppmi))
+            vals, vecs = np.asarray(dv, np.float64), np.asarray(dc, np.float64)
+        order = np.argsort(vals)[::-1][: self.expansion_dims]
+        emb = vecs[:, order] * np.sqrt(np.maximum(vals[order], 1e-9))[None, :]
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+        sim = (emb @ emb.T).astype(np.float32)
+        np.fill_diagonal(sim, -1.0)  # never expand a word to itself
+        m = self.expansion_terms
+        top = np.argpartition(-sim, min(m, v - 1), axis=1)[:, :m]
+        self._exp_map = {}
+        f = self.num_features
+        for i, w in enumerate(vocab):
+            pairs = []
+            for j in top[i]:
+                s_ij = float(sim[i, j])
+                if s_ij < self.expansion_sim_threshold:
+                    continue
+                pairs.append((_fnv1a(vocab[j]) % f, s_ij))
+            if pairs:
+                self._exp_map[w] = pairs
+        logger.info(
+            "Expansion fitted: vocab=%d, %d words with neighbors", v, len(self._exp_map)
+        )
+
+    def _expand_query_csr(self, texts, indices, weights, offsets):
+        """Append each query word's expansion features to its CSR row."""
+        from .hashed_features import _tokenize_bytes
+
+        out_i, out_w, out_off = [], [], [0]
+        for row, t in enumerate(texts):
+            lo, hi = int(offsets[row]), int(offsets[row + 1])
+            row_i = list(indices[lo:hi])
+            row_w = list(weights[lo:hi])
+            present = set(row_i)
+            for word in dict.fromkeys(_tokenize_bytes(t)):  # unique, ordered
+                for bucket, s_ij in self._exp_map.get(word, ()):
+                    if bucket in present:
+                        continue
+                    present.add(bucket)
+                    row_i.append(bucket)
+                    row_w.append(
+                        self.expansion_weight * s_ij * float(self._idf[bucket])
+                    )
+            out_i.extend(row_i)
+            out_w.extend(row_w)
+            out_off.append(len(out_i))
+        return (
+            np.asarray(out_i, indices.dtype),
+            np.asarray(out_w, np.float32),
+            np.asarray(out_off, offsets.dtype),
         )
 
     def _cap_bigram_idf(self, texts: Sequence[str]) -> None:
@@ -343,11 +468,17 @@ class LexicalLSAEncoder:
                     self._idf[bucket] = cap
 
     # -- encode ----------------------------------------------------------------
-    def encode_dev(self, texts: Sequence[str], pad_to: int = 0) -> jax.Array:
+    def encode_dev(
+        self, texts: Sequence[str], pad_to: int = 0, is_query: bool = False
+    ) -> jax.Array:
         b = max(len(texts), 1)
         rows = max(pad_to, b)
         if texts:
             indices, weights, offsets = self._weighted_csr(texts)
+            if is_query and self._exp_map:
+                indices, weights, offsets = self._expand_query_csr(
+                    texts, indices, weights, offsets
+                )
         else:
             indices = np.zeros(0, np.int64)
             weights = np.zeros(0, np.float32)
@@ -357,12 +488,29 @@ class LexicalLSAEncoder:
         idx, w = _csr_to_padded(indices, weights, offsets, rows, k)
         return self._project_sparse(jnp.asarray(idx), jnp.asarray(w))[: len(texts)]
 
-    def encode(self, texts: Sequence[str], pad_to: int = 0) -> np.ndarray:
-        return np.asarray(self.encode_dev(texts, pad_to))
+    def encode(
+        self, texts: Sequence[str], pad_to: int = 0, is_query: bool = False
+    ) -> np.ndarray:
+        return np.asarray(self.encode_dev(texts, pad_to, is_query=is_query))
 
     # -- persistence -------------------------------------------------------------
     def save_state(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
+        extra = {}
+        if self._exp_map:
+            # flat arrays: word (utf-8 surrogate-escaped), bucket, sim
+            words, buckets, sims = [], [], []
+            for w, pairs in self._exp_map.items():
+                for bucket, s_ij in pairs:
+                    words.append(w.decode("utf-8", "surrogateescape"))
+                    buckets.append(bucket)
+                    sims.append(s_ij)
+            extra = {
+                "exp_words": np.array(words),
+                "exp_buckets": np.asarray(buckets, np.int64),
+                "exp_sims": np.asarray(sims, np.float32),
+                "exp_weight": np.float32(self.expansion_weight),
+            }
         np.savez_compressed(
             os.path.join(directory, "lexical_state.npz"),
             proj=np.asarray(self._proj, np.float32),
@@ -373,6 +521,7 @@ class LexicalLSAEncoder:
             char_weight=np.float32(self.char_weight),
             dim=np.int64(self.dim),
             num_features=np.int64(self.num_features),
+            **extra,
         )
 
     def load_state(self, directory: str) -> bool:
@@ -388,6 +537,14 @@ class LexicalLSAEncoder:
         self.fitted = bool(data["fitted"])
         self._idf = data["idf"].astype(np.float32)
         self._avgdl = float(data["avgdl"])
+        self._exp_map = {}
+        if "exp_words" in data:
+            self.expansion_weight = float(data["exp_weight"])
+            for word, bucket, s_ij in zip(
+                data["exp_words"], data["exp_buckets"], data["exp_sims"]
+            ):
+                key = str(word).encode("utf-8", "surrogateescape")
+                self._exp_map.setdefault(key, []).append((int(bucket), float(s_ij)))
         self._set_projection(data["proj"])
         return True
 
@@ -420,6 +577,13 @@ class EmbeddingModel:
                 max_fit_docs=int(config.get("max_fit_docs", 2048)),
                 char_weight=float(config.get("char_weight", 1.0)),
                 bigram_idf_cap=bool(config.get("bigram_idf_cap", True)),
+                expansion_terms=int(config.get("expansion_terms", 0)),
+                expansion_weight=float(config.get("expansion_weight", 0.3)),
+                expansion_sim_threshold=float(
+                    config.get("expansion_sim_threshold", 0.35)),
+                expansion_dims=int(config.get("expansion_dims", 128)),
+                expansion_window=int(config.get("expansion_window", 8)),
+                expansion_vocab=int(config.get("expansion_vocab", 2048)),
             )
             self.tokenizer = None
             self.encoder = None
@@ -438,7 +602,8 @@ class EmbeddingModel:
         logger.info("EmbeddingModel backend=%s dim=%d", self.backend, self.embedding_dim)
 
     # -- public API (reference embed :47-73, embed_chunks :75-87) ----------
-    def embed(self, texts: Sequence[str], as_numpy: bool = True):
+    def embed(self, texts: Sequence[str], as_numpy: bool = True,
+              is_query: bool = False):
         """Embed texts → [N, dim] L2-normalized.
 
         ``as_numpy=False`` (hashed backend) returns the device array without
@@ -457,7 +622,10 @@ class EmbeddingModel:
             for i in range(0, len(texts), 512):
                 group = texts[i : i + 512]
                 pad = _bucket_len(max(len(group), 8)) if len(group) < 512 else 512
-                outs.append(self._hashed.encode_dev(group, pad_to=max(pad, self.batch_size)))
+                outs.append(self._hashed.encode_dev(
+                    group, pad_to=max(pad, self.batch_size),
+                    is_query=is_query,
+                ))
             dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
             return np.asarray(dev) if as_numpy else dev
         return self._embed_minilm(texts)

@@ -112,7 +112,7 @@ class ContextRetriever:
         # back-to-back WITHOUT host syncs, then materialized once — host↔
         # device round trips (~50ms each on the axon tunnel) dominate batch
         # latency otherwise.
-        q_emb = self.embedder.embed(list(queries), as_numpy=False)
+        q_emb = self.embedder.embed(list(queries), as_numpy=False, is_query=True)
         if isinstance(q_emb, np.ndarray):  # backend without a device path
             q_emb = jnp.asarray(q_emb)
         if where:
@@ -252,7 +252,7 @@ class ContextRetriever:
             self.rerank_fetch_mult * k if (self.rerank or self.diversity_penalty > 0) else k,
             self.store.n,
         )
-        q_emb = self.embedder.embed(list(queries), as_numpy=False)
+        q_emb = self.embedder.embed(list(queries), as_numpy=False, is_query=True)
         if isinstance(q_emb, np.ndarray):
             q_emb = jnp.asarray(q_emb)
         q_tok_np, q_inv_np = self._query_token_ids(queries)

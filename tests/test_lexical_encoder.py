@@ -232,3 +232,71 @@ def test_char_weight_downweights_char_grams():
     _, w_full, _ = full._weighted_csr(["alpha beta"])
     _, w_half, _ = half._weighted_csr(["alpha beta"])
     assert w_half.sum() < w_full.sum()
+
+
+def test_semantic_expansion_fit_and_encode():
+    """PPMI+SVD query expansion (round 3): related corpus terms join the
+    query vector; document encodes are untouched."""
+    import numpy as np
+
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    docs = [
+        "quantization reduces model weights to low bit precision int4 int8",
+        "pruning removes unimportant weights from the network",
+        "gptq is a post training quantization method using hessian updates",
+        "awq activation aware weight quantization protects salient channels",
+        "lora finetunes models with low rank adapter matrices",
+        "distillation transfers knowledge from teacher to student models",
+    ] * 10
+    enc = LexicalLSAEncoder(
+        dim=64, expansion_terms=4, expansion_sim_threshold=0.2,
+        expansion_vocab=512, max_fit_docs=60,
+    )
+    enc.fit(docs)
+    assert enc._exp_map, "expansion map empty after fit"
+    # frequently co-occurring words must be linked
+    assert b"quantization" in enc._exp_map
+    q = "what is quantization"
+    eq = enc.encode([q], is_query=True)
+    ed = enc.encode([q], is_query=False)
+    assert not np.allclose(eq, ed), "expansion must alter the query vector"
+    # both stay unit-norm
+    np.testing.assert_allclose(np.linalg.norm(eq, axis=1), 1.0, atol=1e-5)
+
+
+def test_semantic_expansion_persistence(tmp_path):
+    import numpy as np
+
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    docs = [
+        "quantization low bit weights precision inference deployment",
+        "quantization int8 int4 bit precision weights rounding scales",
+        "pruning sparsity removes weights structure magnitude heads",
+        "distillation teacher student transfer logits soft labels",
+        "finetuning adapters lora rank matrices frozen base layers",
+    ] * 12
+    enc = LexicalLSAEncoder(
+        dim=32, expansion_terms=4, expansion_sim_threshold=0.1,
+        expansion_vocab=256, max_fit_docs=45,
+    )
+    enc.fit(docs)
+    assert enc._exp_map
+    enc.save_state(str(tmp_path))
+
+    enc2 = LexicalLSAEncoder(dim=32)
+    assert enc2.load_state(str(tmp_path))
+    assert enc2._exp_map.keys() == enc._exp_map.keys()
+    q = ["which quantization method"]
+    np.testing.assert_allclose(
+        enc.encode(q, is_query=True), enc2.encode(q, is_query=True), atol=1e-5
+    )
+
+
+def test_expansion_off_by_default():
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    enc = LexicalLSAEncoder(dim=32)
+    enc.fit(["some words here"] * 20)
+    assert not enc._exp_map

@@ -167,7 +167,7 @@ def test_fused_path_supports_pq(corpus):
     em = EmbeddingModel({"backend": "hashed", "embedding_dim": x.shape[1]})
 
     class FixedEmbed:
-        def embed(self, queries, as_numpy=True):
+        def embed(self, queries, as_numpy=True, is_query=False):
             import jax.numpy as jnp
             idx = [int(s.split()[-1]) for s in queries]
             return jnp.asarray(q[idx])

@@ -169,3 +169,48 @@ def test_sharded_generate_matches_single_device(mesh8):
     )
     np.testing.assert_array_equal(np.asarray(local_toks), np.asarray(dist_toks))
     np.testing.assert_array_equal(np.asarray(local_lens), np.asarray(dist_lens))
+
+
+def test_sharded_generate_int8_kv_matches_single_device(mesh8):
+    """kv_bits=8 sharded serving (VERDICT r2 weak #6): the int8-KV decode
+    kernel runs under its shard_map rule (batch on dp, kv-heads on tp) and
+    must produce the SAME tokens as the single-device int8-KV generate.
+    head_dim=128 so the KERNEL path (not the XLA emulation) is exercised —
+    in interpret mode on the CPU mesh, exactly like the single-chip CI."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.models.sampling import SamplingParams, generate_tokens
+    from crs_tpu.models.sharding import shard_params, sharded_generate_tokens
+    from crs_tpu.models.transformer import TransformerConfig, init_params
+    from crs_tpu.ops.decode_attention import (
+        decode_attention_shardable, decode_attention_supported,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=512, hidden_size=512, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=512,
+        dtype=jnp.float32, kv_bits=8,
+    )
+    assert cfg.head_dim == 128
+    assert decode_attention_supported(cfg.head_dim, 128)
+    assert decode_attention_shardable(4, cfg.num_kv_heads, mesh8)  # dp=4, tp=2
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 512, (4, 10)).astype(np.int32)
+    mask = np.ones((4, 10), bool)
+    mask[1, :2] = False
+    sp = SamplingParams(max_new_tokens=5, temperature=0.0, eos_id=-1)
+    key = jax.random.PRNGKey(3)
+
+    local_toks, local_lens = generate_tokens(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask), key, sp
+    )
+    sharded = shard_params(params, mesh8)
+    dist_toks, dist_lens = sharded_generate_tokens(
+        sharded, cfg, ids, mask, key, sp, mesh8
+    )
+    np.testing.assert_array_equal(np.asarray(local_toks), np.asarray(dist_toks))
+    np.testing.assert_array_equal(np.asarray(local_lens), np.asarray(dist_lens))

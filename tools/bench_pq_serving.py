@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""PQ-only serving at 40M–100M rows on one chip (VERDICT r2 #2 / #9).
+
+The corpus never exists densely anywhere: clustered rows are generated
+on-device in 1M-row chunks from deterministic PRNG keys, residual-PQ-encoded
+chunk by chunk, and only the [N, M+2] uint8 ext codes persist (M+2 B/vec —
+the HBM serving footprint). Exact fp32 ground truth re-generates the same
+chunks (same keys) and scans them on device, so a 100M-row corpus (38 GB
+dense) is validated end-to-end with ~1.5 GB of HBM and no 60 GB host array.
+
+Modes measured:
+- pq_rescore="none": rank by fused-ADC scores alone (M+2 B/vec total).
+- pq_rescore="host": top-cand ADC candidates rescored against a host-RAM
+  int8 mirror (optional — skipped at 100M unless --host-mirror).
+
+Usage:
+  python tools/bench_pq_serving.py --rows 40000000
+  python tools/bench_pq_serving.py --rows 100000000 --no-host-mirror
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+CHUNK = 1_000_000
+
+
+def _gen_chunk(key, centers, dim, sigma):
+    """[CHUNK, dim] clustered unit rows, fully on device."""
+    k1, k2 = jax.random.split(key)
+    assign = jax.random.randint(k1, (CHUNK,), 0, centers.shape[0])
+    x = centers[assign] + sigma * jax.random.normal(k2, (CHUNK, dim), jnp.float32)
+    return x / jnp.linalg.norm(x, axis=1, keepdims=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=40_000_000)
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--centers", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--cand", type=int, default=100)
+    ap.add_argument("--subspaces", type=int, default=12)
+    ap.add_argument("--coarse", type=int, default=2048)
+    ap.add_argument("--sigma", type=float, default=0.35)
+    ap.add_argument("--host-mirror", dest="host_mirror", action="store_true",
+                    default=None)
+    ap.add_argument("--no-host-mirror", dest="host_mirror", action="store_false")
+    ap.add_argument("--block-size", type=int, default=2048)
+    args = ap.parse_args()
+    n, d = args.rows, args.dim
+    host_mirror = args.host_mirror
+    if host_mirror is None:
+        host_mirror = n <= 50_000_000
+    nchunks = n // CHUNK
+    assert n % CHUNK == 0
+
+    from crs_tpu.ops.pallas_scan import pallas_topk_residual_pq_adc
+    from crs_tpu.ops.pq import (
+        residual_codes_ext, residual_pq_encode, train_residual_pq,
+    )
+
+    key = jax.random.PRNGKey(0)
+    ck, qk, tk = jax.random.split(key, 3)
+    centers = jax.random.normal(ck, (args.centers, d), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    chunk_keys = jax.random.split(tk, nchunks)
+
+    gen = jax.jit(lambda k: _gen_chunk(k, centers, d, args.sigma))
+
+    # queries: rows of chunk 0 + noise
+    t0 = time.perf_counter()
+    c0 = gen(chunk_keys[0])
+    qn = jax.random.normal(qk, (args.batch, d), jnp.float32)
+    queries = c0[: args.batch] + 0.05 * qn
+    queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
+
+    # train residual PQ on chunk 0's first 262k rows
+    rpq = train_residual_pq(
+        jax.random.PRNGKey(7), c0[:262_144], num_subspaces=args.subspaces,
+        coarse_clusters=args.coarse, num_iters=12, opq_iters=2, coarse_iters=8,
+    )
+    print(f"trained rpq in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    enc = jax.jit(lambda x: residual_pq_encode(rpq, x))
+    m = args.subspaces
+    ext_host = np.empty((n, m + 2), np.uint8)
+    mirror = np.empty((n, d), np.int8) if host_mirror else None
+    mirror_scales = np.empty((n,), np.float32) if host_mirror else None
+
+    @jax.jit
+    def quant(x):
+        amax = jnp.max(jnp.abs(x), axis=-1)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+        return jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8), s
+
+    t0 = time.perf_counter()
+    for ci in range(nchunks):
+        x = gen(chunk_keys[ci]) if ci else c0
+        cids, codes = enc(x)
+        ext_host[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(
+            residual_codes_ext(cids, codes)
+        )
+        if host_mirror:
+            qc, qs = quant(x)
+            mirror[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qc)
+            mirror_scales[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qs)
+        if (ci + 1) % 10 == 0:
+            print(f"encoded {ci+1}/{nchunks} chunks "
+                  f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+    print(f"encode total {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # exact fp32 ground truth: regenerate chunks, device matmul, host merge
+    @jax.jit
+    def chunk_topk(k_i, q):
+        x = _gen_chunk(k_i, centers, d, args.sigma)
+        s = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, args.k)
+
+    t0 = time.perf_counter()
+    best_s = np.full((args.batch, 0), -np.inf, np.float32)
+    best_i = np.zeros((args.batch, 0), np.int64)
+    for ci in range(nchunks):
+        s_c, i_c = chunk_topk(chunk_keys[ci], queries)
+        best_s = np.concatenate([best_s, np.asarray(s_c)], axis=1)
+        best_i = np.concatenate([best_i, np.asarray(i_c, np.int64) + ci * CHUNK], axis=1)
+        if best_s.shape[1] > 4 * args.k:  # keep the running top-k small
+            sel = np.argsort(-best_s, axis=1)[:, : args.k]
+            best_s = np.take_along_axis(best_s, sel, axis=1)
+            best_i = np.take_along_axis(best_i, sel, axis=1)
+    sel = np.argsort(-best_s, axis=1)[:, : args.k]
+    truth = np.take_along_axis(best_i, sel, axis=1)
+    print(f"ground truth in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # serving: fused residual-PQ ADC scan over the ext codes
+    ext_dev = jnp.asarray(ext_host)
+    jax.block_until_ready(ext_dev)
+    hbm_bytes = ext_dev.size  # uint8
+    print(f"HBM serving footprint: {hbm_bytes/1e9:.2f} GB "
+          f"({(m+2)} B/vec x {n/1e6:.0f}M rows)", file=sys.stderr)
+
+    def run_scan(q):
+        return pallas_topk_residual_pq_adc(
+            rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext_dev,
+            q, args.cand, n, args.block_size,
+        )
+
+    scan = jax.jit(run_scan)
+    adc_s, adc_i = scan(queries)
+    jax.block_until_ready(adc_i)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        adc_s, adc_i = scan(queries)
+    jax.block_until_ready(adc_i)
+    scan_s = (time.perf_counter() - t0) / reps
+
+    adc_i_np = np.asarray(adc_i)
+    adc_s_np = np.asarray(adc_s)
+
+    def recall(pred):
+        return float(np.mean([
+            len(set(pred[b, : args.k]) & set(truth[b])) / args.k
+            for b in range(args.batch)
+        ]))
+
+    out = {
+        "rows": n, "dim": d, "bytes_per_vec_hbm": m + 2,
+        "hbm_gb": round(hbm_bytes / 1e9, 2),
+        "scan_ms": round(scan_s * 1e3, 2),
+        "ms_per_query": round(scan_s * 1e3 / args.batch, 4),
+        "recall_at_k_none": recall(adc_i_np),
+        "cand": args.cand, "k": args.k,
+    }
+    if host_mirror:
+        rows = np.clip(adc_i_np, 0, n - 1)
+        t0 = time.perf_counter()
+        vecs = mirror[rows].astype(np.float32) * mirror_scales[rows][..., None]
+        exact = np.einsum("bd,bcd->bc", np.asarray(queries), vecs)
+        exact = np.where(adc_s_np <= -1e29, -1e30, exact)
+        sel = np.argsort(-exact, axis=1)[:, : args.k]
+        host_pred = np.take_along_axis(adc_i_np, sel, axis=1)
+        out["host_rescore_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+        out["recall_at_k_host"] = recall(host_pred)
+        out["host_mirror_gb"] = round((mirror.nbytes + mirror_scales.nbytes) / 1e9, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

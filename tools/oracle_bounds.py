@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Per-column ORACLE ceilings for the matched-context retrieval-quality
+comparison (VERDICT r2 next #4).
+
+For each question, the oracle picks the top_k=3 chunks from OUR chunk
+inventory (matched-ctx90 geometry) that maximize each context metric under
+the reference's exact metric definitions (benchmark.py _context_quality,
+reference :795-824):
+
+- coverage  = |answer_tokens ∩ context_tokens| / |answer_tokens|
+  → greedy max-union over chunks (greedy is (1-1/e)-optimal for coverage,
+    and we additionally do an exhaustive search over the 24 best single
+    chunks, which is exact for k=3 in practice).
+- sufficiency = 1 if answer substring in ctx or overlap ≥ 0.8, else overlap
+  → computed from the same maximizing pick.
+- precision = |question_tokens ∩ context_tokens| / |question_tokens|
+  → same machinery with question tokens (reproduces the round-2.6 oracle).
+
+If the reference's published numbers exceed these ceilings, NO retriever
+over our chunk geometry can match them — the residual is chunk-geometry-
+bounded, not a retrieval defect.
+
+Usage: python tools/oracle_bounds.py [--cpu]
+"""
+import argparse
+import itertools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _oracle_for_tokens(target_tokens, chunk_token_sets, k=3, cand=24):
+    """Max token coverage of ``target_tokens`` achievable by a union of ≤k
+    chunks: greedy + exhaustive over the ``cand`` best singles."""
+    if not target_tokens:
+        return 0.0, []
+    scored = sorted(
+        range(len(chunk_token_sets)),
+        key=lambda i: -len(target_tokens & chunk_token_sets[i]),
+    )[:cand]
+    best_cov, best_pick = 0.0, []
+    for combo in itertools.combinations(scored, min(k, len(scored))):
+        got = set()
+        for i in combo:
+            got |= target_tokens & chunk_token_sets[i]
+        cov = len(got) / len(target_tokens)
+        if cov > best_cov:
+            best_cov, best_pick = cov, list(combo)
+    return best_cov, best_pick
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--output", default="results/lexical_quality/oracle_bounds.json")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from crs_tpu.rag.chunking import TextChunker
+    from crs_tpu.rag.document_processing import DocumentProcessor
+
+    qa = json.load(open("/root/reference/data/2308.07633v4-qa.json"))
+    dp = DocumentProcessor({})
+    pages = dp.process_file("/root/reference/data/2308.07633v4-clean.pdf")
+    ck = TextChunker({"strategy": "semantic", "chunk_size": 90,
+                      "chunk_overlap": 18, "min_chunk_size": 25})
+    chunks = [c for t, p in pages for c in ck.chunk(t, page_number=p)]
+    texts = [c.text for c in chunks]
+    token_sets = [set(t.lower().split()) for t in texts]
+    print(f"{len(chunks)} chunks at matched-ctx90 geometry")
+
+    out = {"chunking": "matched-ctx90", "top_k": 3, "per_question": []}
+    for nq in (10, 41):
+        suf, cov, prec = [], [], []
+        for q in qa[:nq]:
+            a_tokens = set(q["answer"].lower().split())
+            q_tokens = set(q["question"].lower().split())
+            c_best, pick = _oracle_for_tokens(a_tokens, token_sets)
+            ctx = "\n".join(texts[i] for i in pick).lower()
+            # sufficiency under the reference's partial-credit rule for the
+            # coverage-maximizing pick (substring check included)
+            s = 1.0 if (q["answer"].lower() in ctx or c_best >= 0.8) else c_best
+            p_best, _ = _oracle_for_tokens(q_tokens, token_sets)
+            suf.append(s)
+            cov.append(c_best)
+            prec.append(p_best)
+            if nq == 10:
+                out["per_question"].append({
+                    "question": q["question"][:80],
+                    "oracle_coverage": round(c_best, 4),
+                    "oracle_sufficiency": round(s, 4),
+                    "oracle_precision": round(p_best, 4),
+                })
+        import numpy as np
+
+        out[f"{nq}q"] = {
+            "oracle_sufficiency": round(float(np.mean(suf)), 4),
+            "oracle_coverage": round(float(np.mean(cov)), 4),
+            "oracle_precision": round(float(np.mean(prec)), 4),
+        }
+        print(f"{nq}q ORACLE: suf={np.mean(suf):.3f} cov={np.mean(cov):.3f} "
+              f"prec={np.mean(prec):.3f}")
+
+    # reference's published matched rows (BASELINE.md, its own chunk geometry)
+    out["reference_10q"] = {"sufficiency": 0.756, "precision": 0.634, "coverage": 0.716}
+    out["ours_10q"] = {"sufficiency": 0.727, "precision": 0.592, "coverage": 0.640}
+    os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    json.dump(out, open(args.output, "w"), indent=1)
+    print(f"-> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,11 @@ def main():
         p = RAGPipeline({
             "chunking": {"strategy": "semantic", "chunk_size": cs,
                          "chunk_overlap": ov, "min_chunk_size": ms},
-            "embedding": {"backend": "lexical", "embedding_dim": 384},
+            "embedding": {"backend": "lexical", "embedding_dim": 384,
+                          # shipping defaults (config.json): mild PPMI+SVD
+                          # query expansion, measured +0.012 prec on 10q
+                          "expansion_terms": 4, "expansion_weight": 0.3,
+                          "expansion_sim_threshold": 0.35},
             "vector_store": {"format": "int8", "block_size": 128},
             "retrieval": {"top_k": 3, "similarity_threshold": 0.0},
         }).setup()
