@@ -35,7 +35,10 @@ def main():
                          "chunk_overlap": ov, "min_chunk_size": ms},
             "embedding": {"backend": "lexical", "embedding_dim": 384,
                           # shipping defaults (config.json): mild PPMI+SVD
-                          # query expansion, measured +0.012 prec on 10q
+                          # query expansion (+0.012 prec on 10q) and
+                          # bm25_k1=0.6 (+0.013 prec on 10q, +0.002/+0.006/
+                          # +0.002 on 41q — measured sweeps, STATUS r3)
+                          "bm25_k1": 0.6,
                           "expansion_terms": 4, "expansion_weight": 0.3,
                           "expansion_sim_threshold": 0.35},
             "vector_store": {"format": "int8", "block_size": 128},
