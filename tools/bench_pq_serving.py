@@ -35,11 +35,20 @@ import jax.numpy as jnp
 CHUNK = 1_000_000
 
 
-def _gen_chunk(key, centers, dim, sigma):
-    """[CHUNK, dim] clustered unit rows, fully on device."""
+def _gen_chunk(key, centers, mix, dim, sigma):
+    """[CHUNK, dim] clustered ANISOTROPIC unit rows, fully on device.
+
+    The within-cluster noise goes through a spectral-decay mixing matrix
+    (exp(-i/20) eigenspectrum) like the hard corpus of
+    tests/test_residual_pq.py — real text embeddings have fast-decaying
+    spectra (effective rank ~50-100 for MiniLM-class models); ISOTROPIC
+    384-d noise would make within-cluster ranking information-free (every
+    margin at noise level: measured recall@10 ~0.10 for ANY 14 B/vec code,
+    and ~that for any method at any size)."""
     k1, k2 = jax.random.split(key)
     assign = jax.random.randint(k1, (CHUNK,), 0, centers.shape[0])
-    x = centers[assign] + sigma * jax.random.normal(k2, (CHUNK, dim), jnp.float32)
+    noise = jax.random.normal(k2, (CHUNK, dim), jnp.float32) @ mix
+    x = centers[assign] + sigma * noise
     return x / jnp.linalg.norm(x, axis=1, keepdims=True)
 
 
@@ -72,12 +81,14 @@ def main():
     )
 
     key = jax.random.PRNGKey(0)
-    ck, qk, tk = jax.random.split(key, 3)
-    centers = jax.random.normal(ck, (args.centers, d), jnp.float32)
+    ck, qk, tk, mk = jax.random.split(key, 4)
+    spec = jnp.exp(-jnp.arange(d, dtype=jnp.float32) / 20.0)
+    mix = jax.random.normal(mk, (d, d), jnp.float32) * spec[None, :] / d ** 0.5
+    centers = jax.random.normal(ck, (args.centers, d), jnp.float32) @ mix * 3.0
     centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
     chunk_keys = jax.random.split(tk, nchunks)
 
-    gen = jax.jit(lambda k: _gen_chunk(k, centers, d, args.sigma))
+    gen = jax.jit(lambda k: _gen_chunk(k, centers, mix, d, args.sigma))
 
     # queries: rows of chunk 0 + noise
     t0 = time.perf_counter()
@@ -124,7 +135,7 @@ def main():
     # exact fp32 ground truth: regenerate chunks, device matmul, host merge
     @jax.jit
     def chunk_topk(k_i, q):
-        x = _gen_chunk(k_i, centers, d, args.sigma)
+        x = _gen_chunk(k_i, centers, mix, d, args.sigma)
         s = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, args.k)
 
@@ -150,13 +161,15 @@ def main():
     print(f"HBM serving footprint: {hbm_bytes/1e9:.2f} GB "
           f"({(m+2)} B/vec x {n/1e6:.0f}M rows)", file=sys.stderr)
 
-    def run_scan(q):
+    # NO extra jit wrapper: pallas_topk_residual_pq_adc is already jitted and
+    # takes the codes as an ARGUMENT — a closure here would bake the [N, M+2]
+    # codes into the HLO as a constant and blow the remote-compile request
+    # past its ~100 MB limit (HTTP 413; STATUS lesson (c), hit at 40M rows)
+    def scan(q):
         return pallas_topk_residual_pq_adc(
             rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext_dev,
             q, args.cand, n, args.block_size,
         )
-
-    scan = jax.jit(run_scan)
     adc_s, adc_i = scan(queries)
     jax.block_until_ready(adc_i)
     t0 = time.perf_counter()
@@ -169,9 +182,10 @@ def main():
     adc_i_np = np.asarray(adc_i)
     adc_s_np = np.asarray(adc_s)
 
-    def recall(pred):
+    def recall(pred, width=None):
+        width = width or args.k
         return float(np.mean([
-            len(set(pred[b, : args.k]) & set(truth[b])) / args.k
+            len(set(pred[b, :width]) & set(truth[b])) / args.k
             for b in range(args.batch)
         ]))
 
@@ -181,6 +195,7 @@ def main():
         "scan_ms": round(scan_s * 1e3, 2),
         "ms_per_query": round(scan_s * 1e3 / args.batch, 4),
         "recall_at_k_none": recall(adc_i_np),
+        "recall_k_in_cand": recall(adc_i_np, width=args.cand),
         "cand": args.cand, "k": args.k,
     }
     if host_mirror:

