@@ -760,7 +760,7 @@ def pallas_topk_residual_pq_adc(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "block_size", "query_block"))
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "repair"))
 def pallas_topk_pq_adc(
     codebook_centroids: jax.Array,  # [M, K, Dsub] f32
     codes: jax.Array,  # [N, M] int32
@@ -770,6 +770,7 @@ def pallas_topk_pq_adc(
     block_size: int = 2048,
     query_block: int = 128,
     row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
+    repair: int = 256,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused PQ ADC scan (the BASELINE.json north-star kernel): per-query
     subspace LUTs on the MXU, blockwise score accumulation via one-hot
@@ -793,7 +794,8 @@ def pallas_topk_pq_adc(
     codes_p = _pad_rows(codes, block_size)  # stored dtype; kernel widens
     np_rows = codes_p.shape[0]
     nblocks = np_rows // block_size
-    kb = _default_kb(k, nblocks)
+    kb = (_default_kb_repair(k, nblocks, b_real, repair) if repair
+          else _default_kb(k, nblocks))
     allowed = jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32)
     if row_mask is not None:
         allowed = allowed & _pad_rows(row_mask, block_size)
@@ -829,8 +831,33 @@ def pallas_topk_pq_adc(
             row_mask=row_mask,
         )
 
-    return _exact_or_fallback(
-        _block_ceilings(out_s, b_real, kb), top_s, top_i, fallback
+    ceilings = _block_ceilings(out_s, b_real, kb)
+    if not repair:
+        return _exact_or_fallback(ceilings, top_s, top_i, fallback)
+
+    def score_blocks(qidx, bid):
+        """ADC scores of block ``bid[r]`` for query ``qidx[r]`` — bf16 LUT
+        values accumulated in f32, mirroring the kernel's one-hot dots."""
+        starts = bid * block_size
+        codes_blk = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(
+                codes_p, (st, 0), (block_size, m_sub))
+        )(starts).astype(jnp.int32)  # [R, BS, M]
+        bias_blk = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(bias[0], (st,), (block_size,))
+        )(starts)
+        lut_sel = lut[qidx].astype(jnp.bfloat16)  # [R, M, K]
+        sc = bias_blk
+        for mi in range(m_sub):
+            sc = sc + jnp.take_along_axis(
+                lut_sel[:, mi, :], codes_blk[:, :, mi], axis=1
+            ).astype(jnp.float32)
+        return sc
+
+    return _targeted_repair(
+        _flat_pool(out_s, b_real), _flat_pool(out_i, b_real),
+        top_s, top_i, ceilings, score_blocks, k,
+        block_size, nblocks, kb, b_real, repair, fallback,
     )
 
 
