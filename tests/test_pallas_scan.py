@@ -409,3 +409,41 @@ def test_repair_default_kb_drops_at_scale():
     assert _default_kb_repair(10, 2442, 328, 256) == 2
     assert _default_kb_repair(128, 2442, 64, 256) <= 4
     assert _default_kb_repair(64, 4, 64, 256) >= 8  # few blocks: big kb
+
+
+def test_grouped_grid_steps_exact():
+    """group>1 (round 3): one grid step scores G blocks — same results as
+    group=1 on clustered data incl. row masks and non-divisible padding."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crs_tpu.ops.pallas_scan import _auto_group, pallas_topk, pallas_topk_int8
+    from crs_tpu.ops.quant import _int8_topk_xla, scalar_quantize
+    from crs_tpu.ops.topk import exact_topk
+
+    rng = np.random.default_rng(3)
+    n, d, b, k = 9871, 64, 8, 20  # non-multiple of group*block_size
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs[5000:5040] = vecs[0][None] * 5  # hot block (forces repair w/ kb=2)
+    qs = rng.standard_normal((b, d)).astype(np.float32)
+    qs[0] = vecs[0]
+    ref_s, _ = exact_topk(jnp.asarray(vecs), jnp.asarray(qs), k, n)
+    for g in (2, 4):
+        s_, i_ = pallas_topk(jnp.asarray(vecs), jnp.asarray(qs), k, n,
+                             block_size=256, group=g)
+        np.testing.assert_allclose(np.sort(np.asarray(s_), 1),
+                                   np.sort(np.asarray(ref_s), 1), atol=1e-4)
+        assert int(np.asarray(i_).max()) < n
+
+    codes, scales = scalar_quantize(jnp.asarray(vecs))
+    mask = rng.random(n) < 0.5
+    ref8 = _int8_topk_xla(codes, scales, jnp.asarray(qs), k, n, rescore_k=0,
+                          row_mask=jnp.asarray(mask))
+    s_, i_ = pallas_topk_int8(codes, scales, jnp.asarray(qs), k, n,
+                              block_size=256, group=4,
+                              row_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.sort(np.asarray(s_), 1),
+                               np.sort(np.asarray(ref8[0]), 1),
+                               rtol=1e-4, atol=1e-5)
+    assert mask[np.asarray(i_)].all()
+    assert _auto_group(2442, 4096 * 384) == 4  # the 10M x 384 serving shape
