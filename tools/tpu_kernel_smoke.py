@@ -136,8 +136,35 @@ def main() -> int:
         overlap = np.mean([len(set(a) & set(b)) / 8 for a, b in zip(i, i2)])
         assert overlap >= 0.85, (overlap, i, i2)
 
+    def scan_grouped_repair():
+        """Round-3 forms: grouped grid steps + kb=2 with targeted repair —
+        a hot block forces the repair branch to execute ON CHIP (interpret
+        mode already covers numerics; this checks the Mosaic lowering of the
+        [1, G, kb, qb] grouped output writes and the repair gather)."""
+        from crs_tpu.ops.pallas_scan import pallas_topk, pallas_topk_int8
+        from crs_tpu.ops.quant import scalar_quantize
+
+        vn = rng.standard_normal((8192, 128)).astype(np.float32)
+        qn = rng.standard_normal((8, 128)).astype(np.float32)
+        vn[4096:4136] = qn[0][None] * 5  # >kb of q0's top-20 in one block
+        s, i = pallas_topk(jnp.asarray(vn), jnp.asarray(qn), 20, 8000,
+                           block_size=512, kb=2, group=4, repair=64)
+        i = np.asarray(i)
+        true = qn.astype(np.float64) @ vn[:8000].astype(np.float64).T
+        kth = np.sort(true, axis=1)[:, -20]
+        got = np.take_along_axis(true, i, axis=1)
+        assert (got >= kth[:, None] - 1e-3).all()
+        assert all(len(set(r)) == 20 for r in i), "duplicate ids"
+        codes, scales = scalar_quantize(jnp.asarray(vn))
+        s8, i8 = pallas_topk_int8(codes, scales, jnp.asarray(qn), 20, 8000,
+                                  block_size=512, kb=2, group=4, repair=64)
+        i8 = np.asarray(i8)
+        assert all(len(set(r)) == 20 for r in i8), "duplicate ids (int8)"
+        assert len(set(i8[0][:10]) & set(i[0][:10])) >= 8
+
     for name, fn in (
         ("pallas_topk(fp32)", scan_fp32),
+        ("grouped+repair", scan_grouped_repair),
         ("pallas_topk_int8", scan_int8),
         ("pallas_topk_pq_adc", scan_pq),
         ("pallas_topk_residual_pq_adc", scan_residual_pq),
