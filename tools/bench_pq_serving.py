@@ -67,6 +67,9 @@ def main():
                     default=None)
     ap.add_argument("--no-host-mirror", dest="host_mirror", action="store_false")
     ap.add_argument("--block-size", type=int, default=2048)
+    ap.add_argument("--codes-cache", default=None,
+                    help="npz path: save/load the encoded ext codes + rpq + "
+                         "mirror so a rerun skips the ~minutes-per-10M encode")
     args = ap.parse_args()
     n, d = args.rows, args.dim
     host_mirror = args.host_mirror
@@ -97,40 +100,64 @@ def main():
     queries = c0[: args.batch] + 0.05 * qn
     queries = queries / jnp.linalg.norm(queries, axis=1, keepdims=True)
 
-    # train residual PQ on chunk 0's first 262k rows
-    rpq = train_residual_pq(
-        jax.random.PRNGKey(7), c0[:262_144], num_subspaces=args.subspaces,
-        coarse_clusters=args.coarse, num_iters=12, opq_iters=2, coarse_iters=8,
-    )
-    print(f"trained rpq in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-    enc = jax.jit(lambda x: residual_pq_encode(rpq, x))
     m = args.subspaces
-    ext_host = np.empty((n, m + 2), np.uint8)
-    mirror = np.empty((n, d), np.int8) if host_mirror else None
-    mirror_scales = np.empty((n,), np.float32) if host_mirror else None
+    cache = args.codes_cache
+    from crs_tpu.ops.pq import PQCodebook, ResidualPQ
 
-    @jax.jit
-    def quant(x):
-        amax = jnp.max(jnp.abs(x), axis=-1)
-        s = jnp.maximum(amax, 1e-12) / 127.0
-        return jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8), s
-
-    t0 = time.perf_counter()
-    for ci in range(nchunks):
-        x = gen(chunk_keys[ci]) if ci else c0
-        cids, codes = enc(x)
-        ext_host[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(
-            residual_codes_ext(cids, codes)
+    if cache and Path(cache).exists():
+        data = np.load(cache)
+        assert int(data["rows"]) == n and int(data["m"]) == m, "cache mismatch"
+        rpq = ResidualPQ(rotation=jnp.asarray(data["rotation"]),
+                         coarse=jnp.asarray(data["coarse"]),
+                         codebook=PQCodebook(jnp.asarray(data["centroids"])))
+        ext_host = data["ext"]
+        mirror = data["mirror"] if "mirror" in data and host_mirror else None
+        mirror_scales = (data["mirror_scales"]
+                         if "mirror_scales" in data and host_mirror else None)
+        host_mirror = mirror is not None
+        print(f"loaded codes cache {cache}", file=sys.stderr)
+    else:
+        # train residual PQ on chunk 0's first 262k rows
+        rpq = train_residual_pq(
+            jax.random.PRNGKey(7), c0[:262_144], num_subspaces=args.subspaces,
+            coarse_clusters=args.coarse, num_iters=12, opq_iters=2, coarse_iters=8,
         )
-        if host_mirror:
-            qc, qs = quant(x)
-            mirror[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qc)
-            mirror_scales[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qs)
-        if (ci + 1) % 10 == 0:
-            print(f"encoded {ci+1}/{nchunks} chunks "
-                  f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
-    print(f"encode total {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        print(f"trained rpq in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        enc = jax.jit(lambda x: residual_pq_encode(rpq, x))
+        ext_host = np.empty((n, m + 2), np.uint8)
+        mirror = np.empty((n, d), np.int8) if host_mirror else None
+        mirror_scales = np.empty((n,), np.float32) if host_mirror else None
+
+        @jax.jit
+        def quant(x):
+            amax = jnp.max(jnp.abs(x), axis=-1)
+            s = jnp.maximum(amax, 1e-12) / 127.0
+            return jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8), s
+
+        t0 = time.perf_counter()
+        for ci in range(nchunks):
+            x = gen(chunk_keys[ci]) if ci else c0
+            cids, codes = enc(x)
+            ext_host[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(
+                residual_codes_ext(cids, codes)
+            )
+            if host_mirror:
+                qc, qs = quant(x)
+                mirror[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qc)
+                mirror_scales[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qs)
+            if (ci + 1) % 10 == 0:
+                print(f"encoded {ci+1}/{nchunks} chunks "
+                      f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+        print(f"encode total {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        if cache:
+            extra = ({"mirror": mirror, "mirror_scales": mirror_scales}
+                     if host_mirror else {})
+            np.savez(cache, rows=n, m=m, ext=ext_host,
+                     rotation=np.asarray(rpq.rotation),
+                     coarse=np.asarray(rpq.coarse),
+                     centroids=np.asarray(rpq.codebook.centroids), **extra)
+            print(f"saved codes cache {cache}", file=sys.stderr)
 
     # exact fp32 ground truth: regenerate chunks, device matmul, host merge
     @jax.jit
