@@ -111,6 +111,12 @@ class JaxModel(ModelInterface):
         # mixed-shape GEMV chain but NO measurable end-to-end decode gain at
         # 1b/batch-1 on v5e (1.285 vs 1.254 ms/token — within run noise).
         self.fuse_projections = bool(config.get("fuse_projections", False))
+        # fused decode-MLP kernel (round 3 experiment; int8-quantized models,
+        # single-device serving, decode batch <= 8; transformer.fuse_mlp_params)
+        self.fused_mlp = bool(config.get("fused_mlp", False))
+        if self.fused_mlp and self.fuse_projections:
+            raise ValueError("fused_mlp and fuse_projections are mutually "
+                             "exclusive (gate|up fusion replaces the layout)")
         self.group_size = int(config.get("group_size", 128))
         self.seed = int(config.get("seed", 0))
         self.max_seq_len = int(config.get("max_seq_len", 2048))
@@ -187,6 +193,10 @@ class JaxModel(ModelInterface):
             from .transformer import fuse_qkv_params
 
             self.params = fuse_qkv_params(self.params)
+        if self.fused_mlp:
+            from .transformer import fuse_mlp_params
+
+            self.params = fuse_mlp_params(self.params)
         self.load_time_s = time.perf_counter() - t0
         self._loaded = True
 
@@ -364,6 +374,7 @@ class JaxModel(ModelInterface):
             "weights_source": self.weights_source,
             "kv_bits": self.kv_bits,
             "fused_projections": self.fuse_projections,
+            "fused_mlp": self.fused_mlp,
         }
 
     def get_lm_eval_model(self):  # pragma: no cover - optional dependency

@@ -93,3 +93,43 @@ def test_fused_mlp_single_chunk_and_row_padding():
     ref = np.asarray(_fp32_ref(x, ns, gate, up, down))
     assert fused.shape == (1, h)
     assert np.abs(fused - ref).max() / np.abs(ref).max() < 0.02
+
+
+def test_fused_mlp_decode_integration():
+    """fuse_mlp_params + routing: a kv8 decode step with the fused layout
+    produces logits close to the standard int8 path (per-chunk hidden scales
+    differ at int8-noise level), and prefill still works (falls back above
+    8 rows... prefill rows = B*S > 8 here)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.models.quantized import quantize_params
+    from crs_tpu.models.transformer import (
+        TransformerConfig, decode_step, fuse_mlp_params, init_cache,
+        init_params, prefill,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=256, hidden_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, intermediate_size=256, max_seq_len=64,
+        dtype=jnp.float32, kv_bits=8,
+    )
+    params = quantize_params(init_params(jax.random.PRNGKey(0), cfg), bits=8)
+    fused = fuse_mlp_params(params, chunk=128)
+    assert "fused" in fused["layers"][0]["mlp"]
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 256, (2, 6)), jnp.int32)
+    mask = jnp.ones((2, 6), bool)
+
+    cache0 = init_cache(cfg, 2, 32)
+    logits_a, cache_a = prefill(params, cfg, ids, cache0, mask)
+    logits_b, cache_b = prefill(fused, cfg, ids, init_cache(cfg, 2, 32), mask)
+    tok = jnp.asarray([3, 5], jnp.int32)
+    la, _ = decode_step(params, cfg, tok, cache_a)
+    lb, _ = decode_step(fused, cfg, tok, cache_b)
+    la, lb = np.asarray(la), np.asarray(lb)
+    scale = np.abs(la).max()
+    assert np.abs(la - lb).max() / scale < 0.05, np.abs(la - lb).max() / scale
+    # ranking agreement on the top token
+    assert (la.argmax(-1) == lb.argmax(-1)).mean() >= 0.5
