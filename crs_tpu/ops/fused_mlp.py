@@ -34,7 +34,6 @@ Reference analog: the fused CUDA MLP epilogues of auto-gptq/AWQ kernels
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
