@@ -50,7 +50,7 @@ def main():
     p = RAGPipeline({
         "chunking": {"strategy": "semantic", "chunk_size": 90,
                      "chunk_overlap": 18, "min_chunk_size": 25},
-        "embedding": {"backend": "lexical", "embedding_dim": 384,
+        "embedding": {"backend": "lexical", "embedding_dim": 384, "bm25_k1": 0.6,
                       "expansion_terms": 4, "expansion_weight": 0.3,
                       "expansion_sim_threshold": 0.35},
         "vector_store": {"format": "int8", "block_size": 128},

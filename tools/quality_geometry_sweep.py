@@ -24,7 +24,7 @@ def run(qa, cs, ov, ms, top_k, nq):
     p = RAGPipeline({
         "chunking": {"strategy": "semantic", "chunk_size": cs,
                      "chunk_overlap": ov, "min_chunk_size": ms},
-        "embedding": {"backend": "lexical", "embedding_dim": 384,
+        "embedding": {"backend": "lexical", "embedding_dim": 384, "bm25_k1": 0.6,
                       "expansion_terms": 4, "expansion_weight": 0.3,
                       "expansion_sim_threshold": 0.35},
         "vector_store": {"format": "int8", "block_size": 128},

@@ -29,7 +29,7 @@ def run_config(qa, emb_over, ret_over):
     from crs_tpu.evaluation.retrieval.benchmark import RetrievalBenchmark
     from crs_tpu.rag.pipeline import RAGPipeline
 
-    emb = {"backend": "lexical", "embedding_dim": 384}
+    emb = {"backend": "lexical", "embedding_dim": 384, "bm25_k1": 0.6}
     emb.update(emb_over)
     ret = {"top_k": 3, "similarity_threshold": 0.0}
     ret.update(ret_over)
