@@ -15,6 +15,8 @@ its timed region... it did include rerank+MMR; ours matches that behavior).
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -22,6 +24,41 @@ from pathlib import Path
 CORPUS = Path("/root/reference/data/2308.07633v4-clean.pdf")
 QA = Path("/root/reference/data/2308.07633v4-qa.json")
 BASELINE_MS = 23.68
+
+
+def _emit_skipped(reason: str) -> None:
+    """Structured outage marker (VERDICT r3 #7): the driver artifact must
+    distinguish an infrastructure outage from a code regression."""
+    print(
+        json.dumps(
+            {
+                "metric": "rag_retrieval_latency",
+                "value": None,
+                "unit": "ms/query",
+                "vs_baseline": None,
+                "skipped": True,
+                "reason": reason,
+            }
+        )
+    )
+
+
+def _backend_available() -> bool:
+    """Probe the device backend in a SUBPROCESS with a hard timeout: the
+    round-3 axon outage mode was a hang (tunnel accepts nothing, trivial
+    matmuls never return), which no in-process try/except can bound."""
+    timeout_s = float(os.environ.get("CRS_TPU_BENCH_PROBE_TIMEOUT", "120"))
+    code = (
+        "import jax, jax.numpy as jnp; "
+        "assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def main() -> None:
@@ -90,4 +127,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if not _backend_available():
+        _emit_skipped("tpu-unavailable")
+        sys.exit(0)
+    try:
+        main()
+    except Exception as e:  # tunnel can drop mid-run: still emit a marker
+        msg = str(e)
+        if any(s in msg for s in ("UNAVAILABLE", "DEADLINE_EXCEEDED", "failed to connect")):
+            _emit_skipped("tpu-unavailable-midrun")
+            sys.exit(0)
+        raise

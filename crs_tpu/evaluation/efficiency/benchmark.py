@@ -77,6 +77,21 @@ class EfficiencyBenchmark(ModelBenchmark[EfficiencyResults]):
                 m.get("gflops_per_token"), m.get("throughput_tokens_per_sec"),
                 dtype="int8" if (m.get("quantization") or "").startswith("int") else "bf16"))
 
+            # roofline rows (VERDICT r3 #6): batched MFU + HBM utilization
+            # next to the single-stream MFU — decode is bandwidth-bound, so
+            # single-stream mfu_percent alone invites a misread
+            def _batched_mfu():
+                best = m.get("batch_throughput_best_tokens_per_sec")
+                out = flops.calculate_mfu(
+                    m.get("gflops_per_token"), best,
+                    dtype="int8" if (m.get("quantization") or "").startswith("int") else "bf16")
+                return ({"mfu_batched_percent": out["mfu_percent"]}
+                        if out.get("mfu_percent") is not None else {})
+
+            stage("mfu_batched", _batched_mfu)
+            stage("bandwidth", lambda: flops.calculate_bandwidth_utilization(
+                m.get("model_size_gb"), m.get("decode_ms_per_token")))
+
         # energy
         stage("energy", lambda: energy.estimate_energy_per_token(m.get("latency_ms_per_token")))
         stage("total_energy", lambda: energy.estimate_total_energy(

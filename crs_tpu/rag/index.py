@@ -660,8 +660,23 @@ class VectorStore:
                 amax = np.max(np.abs(arr), axis=-1)
                 s_np = np.maximum(amax, 1e-12) / 127.0
                 c_np = np.clip(np.round(arr / s_np[:, None]), -127, 127).astype(np.int8)
-                self._codes_host[self.n:self.n + c_np.shape[0]] = c_np
-                self._scales_host[self.n:self.n + c_np.shape[0]] = s_np
+                # the host mirror is padded independently of the device
+                # arrays (create pads it to a block_size multiple, shards
+                # pad to a device multiple), so size the grow off ITS OWN
+                # length — _grow keys off _padded_rows() (device shape) and
+                # may legitimately not fire here
+                end = self.n + c_np.shape[0]
+                if self._codes_host.shape[0] < end:
+                    pad = end - self._codes_host.shape[0]
+                    self._codes_host = np.concatenate(
+                        [self._codes_host,
+                         np.zeros((pad, self._codes_host.shape[1]), np.int8)]
+                    )
+                    self._scales_host = np.concatenate(
+                        [self._scales_host, np.zeros((pad,), np.float32)]
+                    )
+                self._codes_host[self.n:end] = c_np
+                self._scales_host[self.n:end] = s_np
         self.n = new_n
         logger.info("Index grown to %d vectors (in-place append)", self.n)
         if self.persist_directory:

@@ -9,10 +9,21 @@ safe (deterministic-init models; swap in real checkpoints via model_path /
 weights_path when available).
 """
 
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+# honor JAX_PLATFORMS/JAX_PLATFORM_NAME: the image's sitecustomize re-pins
+# jax.config to the axon TPU tunnel in every interpreter, which overrides
+# the env var — so `JAX_PLATFORMS=cpu python quickstart.py` (the documented
+# offline drive) must re-update the config here, before any device use
+_plat = os.environ.get("JAX_PLATFORMS") or os.environ.get("JAX_PLATFORM_NAME")
+if _plat:
+    import jax
+
+    jax.config.update("jax_platforms", _plat)
 
 from crs_tpu import ConfigLoader, EvaluationRunner, RAGPipeline, create_model_interface
 

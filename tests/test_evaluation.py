@@ -165,6 +165,22 @@ def test_flops_and_mfu():
     assert 0 < mfu["mfu_percent"] < 5
 
 
+def test_bandwidth_utilization_roofline():
+    """VERDICT r3 #6: the HBM roofline row must sit next to MFU. The
+    measured matched-size point (7.24 GB int8 weights at 10.37 ms/token on
+    v5e) is ~85% of the 820 GB/s peak while single-stream MFU is <1% —
+    both must be reported or the MFU column reads as a 10x regression."""
+    from crs_tpu.evaluation.efficiency.flops import calculate_bandwidth_utilization
+
+    bw = calculate_bandwidth_utilization(7.24, 10.37, "tpu v5 lite")
+    assert bw["decode_roofline"] == "bandwidth-bound"
+    assert 80 < bw["hbm_utilization_percent"] < 90
+    assert abs(bw["hbm_gbps_achieved"] - 698) < 5
+    # degrades to a null row, never a crash
+    assert calculate_bandwidth_utilization(None, 10.0)["hbm_utilization_percent"] is None
+    assert calculate_bandwidth_utilization(7.0, None)["hbm_utilization_percent"] is None
+
+
 def test_energy_estimate():
     from crs_tpu.evaluation.efficiency.energy import estimate_energy_per_token
 

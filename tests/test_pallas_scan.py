@@ -247,96 +247,9 @@ def test_pallas_topk_no_fallback_on_benign_data():
     np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
 
 
-# -- round 3: segment-hierarchical (seg2) extraction ------------------------
-
-
-def test_seg2_matches_exact():
-    """seg2 variant (constant-pass extraction) vs the exact oracle on
-    benign data — large-ish blocks so kseg < nseg."""
-    import jax.numpy as jnp
-
-    from crs_tpu.ops.pallas_scan import pallas_topk
-    from crs_tpu.ops.topk import exact_topk
-
-    rng = np.random.default_rng(20)
-    n, d, k = 8192, 64, 32
-    base = _normalized(rng, n, d)
-    q = base[:4] + 0.2 * rng.standard_normal((4, d)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    ref_s, ref_i = exact_topk(jnp.asarray(base), jnp.asarray(q), k, n)
-    got_s, got_i = pallas_topk(
-        jnp.asarray(base), jnp.asarray(q), k, n, block_size=2048, variant="seg2"
-    )
-    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
-    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), rtol=1e-5)
-
-
-def test_seg2_three_in_one_segment_falls_back_exact():
-    """The seg2 trip condition: THREE global winners inside one 128-lane
-    segment — the emitted ceiling (max3 of the chosen segment) must reach
-    the global k-th score and reroute through the exact fallback."""
-    import jax.numpy as jnp
-
-    from crs_tpu.ops.pallas_scan import pallas_topk
-    from crs_tpu.ops.topk import exact_topk
-
-    rng = np.random.default_rng(21)
-    n, d, k = 4096, 64, 8
-    base = _normalized(rng, n, d)
-    q = _normalized(rng, 2, d)
-    # rows 256..258 share one 128-segment and are the top-3 for query 0
-    for r in range(256, 259):
-        base[r] = q[0] * (1.0 - 1e-4 * (r - 255))
-    base /= np.linalg.norm(base, axis=1, keepdims=True)
-    ref_s, ref_i = exact_topk(jnp.asarray(base), jnp.asarray(q), k, n)
-    got_s, got_i = pallas_topk(
-        jnp.asarray(base), jnp.asarray(q), k, n, block_size=1024, variant="seg2"
-    )
-    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
-    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), rtol=1e-5)
-
-
-def test_seg2_int8_matches_xla():
-    import jax.numpy as jnp
-
-    from crs_tpu.ops.pallas_scan import pallas_topk_int8
-    from crs_tpu.ops.quant import _int8_topk_xla, scalar_quantize
-
-    rng = np.random.default_rng(22)
-    n, d, k = 4096, 64, 16
-    base = _normalized(rng, n, d)
-    q = jnp.asarray(_normalized(rng, 3, d))
-    codes, scales = scalar_quantize(jnp.asarray(base))
-    ref_s, ref_i = _int8_topk_xla(codes, scales, q, k, n, rescore_k=0)
-    got_s, got_i = pallas_topk_int8(
-        codes, scales, q, k, n, block_size=1024, variant="seg2"
-    )
-    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
-    np.testing.assert_allclose(np.asarray(ref_s), np.asarray(got_s), rtol=1e-4)
-
-
-def test_seg2_padding_and_mask():
-    """valid_n padding + metadata row mask compose with seg2."""
-    import jax.numpy as jnp
-
-    from crs_tpu.ops.pallas_scan import pallas_topk
-    from crs_tpu.ops.topk import exact_topk
-
-    rng = np.random.default_rng(23)
-    n_valid, d, k = 3000, 64, 12
-    base = _normalized(rng, n_valid, d)
-    q = _normalized(rng, 2, d)
-    mask = (np.arange(n_valid) % 5 != 0)
-    ref_s, ref_i = exact_topk(
-        jnp.asarray(base), jnp.asarray(q), k, n_valid,
-        row_mask=jnp.asarray(mask),
-    )
-    got_s, got_i = pallas_topk(
-        jnp.asarray(base), jnp.asarray(q), k, n_valid, block_size=1024,
-        variant="seg2", row_mask=jnp.asarray(mask),
-    )
-    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
-    assert (np.asarray(got_i) % 5 != 0).all()
+# NOTE: the round-3 seg2 (segment-hierarchical extraction) variant and its
+# four tests were deleted in round 4 (VERDICT r3 weak #8) after measuring
+# 3.6× slower on chip — see ops/pallas_scan.py note + git history.
 
 
 def _assert_valid_topk(oracle_scores_bn, got_s, got_i, ref_s, k, rtol=2e-5):

@@ -201,3 +201,23 @@ def test_sharded_host_mode_masked(mesh8):
     store.create_index(chunks, emb)
     s, i = store.search_batch(emb[:4], top_k=5, where={"section": "even"})
     assert (np.asarray(i) % 2 == 0).all()
+
+
+def test_sharded_host_mode_inplace_add_small_block(mesh8):
+    """Regression (round-4 ADVICE): with mesh + pq_rescore='host' the host
+    mirror is padded to a block_size multiple at create while the device
+    arrays are shard-padded to a device-count multiple; when block_size is
+    small vs the device count, `add` could fall inside the device padding
+    (no _grow) yet past the host-mirror end — broadcast ValueError."""
+    emb = _mk(132)
+    texts = [f"d{i}" for i in range(132)]
+    # block_size 4 << 8 devices: device padding slack exceeds one block
+    store = _pq_store("host", mesh=mesh8, block_size=4,
+                      pq_coarse_clusters=16)
+    store.create_index(texts[:100], emb[:100])
+    for lo in range(100, 132, 2):  # several tiny appends crossing the seam
+        store.add(texts[lo:lo + 2], emb[lo:lo + 2])
+    assert store.n == 132
+    assert store._codes_host.shape[0] >= 132
+    s, i = store.search_batch(emb[128:132], top_k=3)
+    assert (np.asarray(i)[:, 0] == np.arange(128, 132)).all()

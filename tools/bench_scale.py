@@ -36,8 +36,6 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--block-size", type=int, default=4096)
     ap.add_argument("--kb", type=int, default=0)
-    ap.add_argument("--variant", default="auto",
-                    choices=("auto", "seg2", "extract"))
     ap.add_argument("--engine", default="pallas", choices=("pallas", "xla"),
                     help="pallas = fused scan kernel (the serving path at scale); "
                          "xla = int8_topk (lax.top_k over [B, N] dominates past ~1M)")
@@ -72,7 +70,6 @@ def main() -> None:
                     s, ids = pallas_topk_int8(
                         codes_a, scales_a, qc, args.k, n,
                         block_size=args.block_size, kb=args.kb,
-                        variant=args.variant,
                     )
                 else:
                     s, ids = int8_topk(codes_a, scales_a, qc, args.k, n,
@@ -96,7 +93,7 @@ def main() -> None:
     per_query_ms = per_scan * 1e3 / b
     print(json.dumps({
         "rows": n, "dim": d, "batch": b, "k": args.k, "engine": args.engine,
-        "block_size": args.block_size, "kb": args.kb, "variant": args.variant,
+        "block_size": args.block_size, "kb": args.kb,
         "scan_ms": round(per_scan * 1e3, 3),
         "ms_per_query": round(per_query_ms, 4),
         "effective_gbps": round(n * d / per_scan / 1e9, 1),
