@@ -41,6 +41,38 @@ _SECTION_HEADER_RES = [
     ),
 ]
 
+# stopwords allowed lowercase inside a title-case header ("Metrics and
+# Benchmarks"); a header may not START or END with one
+_HEADER_STOPWORDS = frozenset(
+    "and of for in with on a the to vs via from by at or as".split()
+)
+
+
+def _match_titlecase_header(stripped: str) -> bool:
+    """Unnumbered title-case header on its own line (round 4): many PDFs —
+    including the bundled survey, whose body headings are all unnumbered
+    after cleaning — mark sections as short standalone Title-Case lines
+    ("Post-Training Quantization"). Accept 1–7 words, ≤60 chars, no
+    terminal punctuation, every non-stopword capitalized, and no leading/
+    trailing stopword (rejects sentence fragments that happen to be short).
+    """
+    if not stripped or len(stripped) > 60 or stripped[-1] in ".:;,!?)":
+        return False
+    words = stripped.split()
+    if not 1 <= len(words) <= 7:
+        return False
+    if any(ch.isdigit() for ch in stripped[:2]):
+        return False  # numbered headings are the first regex's job
+    alpha = [w for w in words if w[0].isalpha()]
+    if not alpha or not alpha[0][0].isupper():
+        return False
+    content = [w for w in alpha if w.lower() not in _HEADER_STOPWORDS]
+    if not content or any(not w[0].isupper() for w in content):
+        return False
+    if words[0].lower() in _HEADER_STOPWORDS or words[-1].lower() in _HEADER_STOPWORDS:
+        return False
+    return True
+
 
 class DocumentProcessor:
     """Load and clean documents into ``(text, page_number)`` tuples."""
@@ -119,6 +151,35 @@ class DocumentProcessor:
                 sections[-1][1].append(line)
         out = [(t, "\n".join(ls).strip()) for t, ls in sections]
         return [(t, body) for t, body in out if body or t]
+
+    def section_spans(
+        self, text: str, default_title: str = ""
+    ) -> List[Tuple[str, int, int]]:
+        """``(title, start_char, end_char)`` per section of ``text``.
+
+        LABELING pass (round 4): unlike :meth:`extract_sections` (which
+        drives chunk boundaries and deliberately keeps the conservative
+        numbered/keyword header rules so chunk geometry is stable), this
+        additionally recognizes unnumbered Title-Case headers
+        (``_match_titlecase_header``) — the dominant heading style of the
+        bundled survey after PDF cleaning — so chunks can inherit their
+        section identity as metadata/features without re-chunking.
+        """
+        spans: List[Tuple[str, int, int]] = []
+        title, start, pos = default_title, 0, 0
+        for line in text.split("\n"):
+            stripped = line.strip()
+            matched = self._match_header(line)
+            if matched is None and _match_titlecase_header(stripped):
+                matched = stripped
+            if matched is not None:
+                if pos > start or title:
+                    spans.append((title, start, pos))
+                title = matched
+                start = pos + len(line) + 1
+            pos += len(line) + 1
+        spans.append((title, start, len(text)))
+        return [s for s in spans if s[2] > s[1] or s[0]]
 
     @staticmethod
     def _match_header(line: str) -> Optional[str]:

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +193,10 @@ class LexicalLSAEncoder:
         expansion_dims: int = 128,
         expansion_window: int = 8,
         expansion_vocab: int = 2048,
+        section_weight: float = 0.0,
+        neighbor_weight: float = 0.0,
+        doc_expansion_terms: int = 0,
+        doc_expansion_weight: float = 0.15,
     ):
         self.dim = dim
         self.num_features = num_features
@@ -216,6 +220,21 @@ class LexicalLSAEncoder:
         self.expansion_window = int(expansion_window)
         self.expansion_vocab = int(expansion_vocab)
         self._exp_map: Dict[bytes, list] = {}
+        # Index-side semantic levers (round 4, VERDICT r3 #4). All weights
+        # are relative to the chunk's own BM25 features (rows are
+        # L2-normalized after projection, so 0.3 ≈ 30% of the feature mass):
+        # - section_weight: fold the chunk's section title into its vector —
+        #   a chunk inherits the topic identity its local text lacks
+        #   ("Post-Training Quantization" chunks rarely repeat the phrase);
+        # - neighbor_weight: fold the adjacent chunks' text in — recovers
+        #   the context that mid-sentence chunk boundaries strip;
+        # - doc_expansion_*: PPMI co-occurrence expansion of DOCUMENT rows
+        #   at index time (the query-side analog above). Queries are never
+        #   touched by these — they are recall devices for the index.
+        self.section_weight = float(section_weight)
+        self.neighbor_weight = float(neighbor_weight)
+        self.doc_expansion_terms = int(doc_expansion_terms)
+        self.doc_expansion_weight = float(doc_expansion_weight)
         # <1 downweights char 3/4-gram features relative to word uni/bigrams
         # in the fitted BM25 weighting: a short entity query ("what is
         # GPTQ?") emits ~6x more char-gram than word features, and at equal
@@ -341,7 +360,7 @@ class LexicalLSAEncoder:
         if proj.shape[1] < self.dim:  # rank-deficient tiny corpora: zero-pad
             proj = np.pad(proj, ((0, 0), (0, self.dim - proj.shape[1])))
         self._set_projection(proj)
-        if self.expansion_terms > 0:
+        if max(self.expansion_terms, self.doc_expansion_terms) > 0:
             self._fit_expansion(sub_texts)
         logger.info(
             "LexicalLSAEncoder fitted: %d docs (%d in basis), avgdl=%.1f",
@@ -401,7 +420,7 @@ class LexicalLSAEncoder:
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
         sim = (emb @ emb.T).astype(np.float32)
         np.fill_diagonal(sim, -1.0)  # never expand a word to itself
-        m = self.expansion_terms
+        m = max(self.expansion_terms, self.doc_expansion_terms)
         top = np.argpartition(-sim, min(m, v - 1), axis=1)[:, :m]
         self._exp_map = {}
         f = self.num_features
@@ -413,13 +432,17 @@ class LexicalLSAEncoder:
                     continue
                 pairs.append((_fnv1a(vocab[j]) % f, s_ij))
             if pairs:
+                # sim-descending so a per-call terms limit takes the best
+                pairs.sort(key=lambda p: -p[1])
                 self._exp_map[w] = pairs
         logger.info(
             "Expansion fitted: vocab=%d, %d words with neighbors", v, len(self._exp_map)
         )
 
-    def _expand_query_csr(self, texts, indices, weights, offsets):
-        """Append each query word's expansion features to its CSR row."""
+    def _expand_csr(self, texts, indices, weights, offsets, terms, weight):
+        """Append each row word's top-``terms`` PPMI-neighbor features to its
+        CSR row at ``weight``·sim·idf (query- and doc-side expansion share
+        this; the map's pair lists are sim-sorted)."""
         from .hashed_features import _tokenize_bytes
 
         out_i, out_w, out_off = [], [], [0]
@@ -429,14 +452,12 @@ class LexicalLSAEncoder:
             row_w = list(weights[lo:hi])
             present = set(row_i)
             for word in dict.fromkeys(_tokenize_bytes(t)):  # unique, ordered
-                for bucket, s_ij in self._exp_map.get(word, ()):
+                for bucket, s_ij in self._exp_map.get(word, ())[:terms]:
                     if bucket in present:
                         continue
                     present.add(bucket)
                     row_i.append(bucket)
-                    row_w.append(
-                        self.expansion_weight * s_ij * float(self._idf[bucket])
-                    )
+                    row_w.append(weight * s_ij * float(self._idf[bucket]))
             out_i.extend(row_i)
             out_w.extend(row_w)
             out_off.append(len(out_i))
@@ -469,16 +490,39 @@ class LexicalLSAEncoder:
 
     # -- encode ----------------------------------------------------------------
     def encode_dev(
-        self, texts: Sequence[str], pad_to: int = 0, is_query: bool = False
+        self,
+        texts: Sequence[str],
+        pad_to: int = 0,
+        is_query: bool = False,
+        aux_channels: Optional[Sequence[Tuple[Sequence[str], float]]] = None,
     ) -> jax.Array:
+        """``aux_channels``: per-row auxiliary texts merged into the row's
+        features at a relative weight — (section titles, w), (neighbor
+        context, w). Document-side only; each channel must align with
+        ``texts`` row-for-row."""
         b = max(len(texts), 1)
         rows = max(pad_to, b)
         if texts:
             indices, weights, offsets = self._weighted_csr(texts)
-            if is_query and self._exp_map:
-                indices, weights, offsets = self._expand_query_csr(
-                    texts, indices, weights, offsets
+            if is_query and self._exp_map and self.expansion_terms > 0:
+                indices, weights, offsets = self._expand_csr(
+                    texts, indices, weights, offsets,
+                    self.expansion_terms, self.expansion_weight,
                 )
+            if not is_query:
+                if self._exp_map and self.doc_expansion_terms > 0:
+                    indices, weights, offsets = self._expand_csr(
+                        texts, indices, weights, offsets,
+                        self.doc_expansion_terms, self.doc_expansion_weight,
+                    )
+                for aux_texts, w in aux_channels or ():
+                    if w <= 0 or not self.fitted:
+                        continue
+                    ai, aw, ao = self._weighted_csr(list(aux_texts))
+                    indices, weights, offsets = _concat_csr_rows(
+                        (indices, weights, offsets),
+                        (ai, aw * np.float32(w), ao),
+                    )
         else:
             indices = np.zeros(0, np.int64)
             weights = np.zeros(0, np.float32)
@@ -489,9 +533,16 @@ class LexicalLSAEncoder:
         return self._project_sparse(jnp.asarray(idx), jnp.asarray(w))[: len(texts)]
 
     def encode(
-        self, texts: Sequence[str], pad_to: int = 0, is_query: bool = False
+        self,
+        texts: Sequence[str],
+        pad_to: int = 0,
+        is_query: bool = False,
+        aux_channels: Optional[Sequence[Tuple[Sequence[str], float]]] = None,
     ) -> np.ndarray:
-        return np.asarray(self.encode_dev(texts, pad_to, is_query=is_query))
+        return np.asarray(
+            self.encode_dev(texts, pad_to, is_query=is_query,
+                            aux_channels=aux_channels)
+        )
 
     # -- persistence -------------------------------------------------------------
     def save_state(self, directory: str) -> None:
@@ -510,6 +561,9 @@ class LexicalLSAEncoder:
                 "exp_buckets": np.asarray(buckets, np.int64),
                 "exp_sims": np.asarray(sims, np.float32),
                 "exp_weight": np.float32(self.expansion_weight),
+                "exp_terms": np.int64(self.expansion_terms),
+                "doc_exp_terms": np.int64(self.doc_expansion_terms),
+                "doc_exp_weight": np.float32(self.doc_expansion_weight),
             }
         np.savez_compressed(
             os.path.join(directory, "lexical_state.npz"),
@@ -545,6 +599,16 @@ class LexicalLSAEncoder:
             ):
                 key = str(word).encode("utf-8", "surrogateescape")
                 self._exp_map.setdefault(key, []).append((int(bucket), float(s_ij)))
+            for pairs in self._exp_map.values():
+                pairs.sort(key=lambda p: -p[1])
+            if "exp_terms" in data:
+                self.expansion_terms = int(data["exp_terms"])
+                self.doc_expansion_terms = int(data["doc_exp_terms"])
+                self.doc_expansion_weight = float(data["doc_exp_weight"])
+            else:  # legacy archive: map existence implied query expansion
+                self.expansion_terms = max(
+                    len(p) for p in self._exp_map.values()
+                )
         self._set_projection(data["proj"])
         return True
 
@@ -584,6 +648,11 @@ class EmbeddingModel:
                 expansion_dims=int(config.get("expansion_dims", 128)),
                 expansion_window=int(config.get("expansion_window", 8)),
                 expansion_vocab=int(config.get("expansion_vocab", 2048)),
+                section_weight=float(config.get("section_weight", 0.0)),
+                neighbor_weight=float(config.get("neighbor_weight", 0.0)),
+                doc_expansion_terms=int(config.get("doc_expansion_terms", 0)),
+                doc_expansion_weight=float(
+                    config.get("doc_expansion_weight", 0.15)),
             )
             self.tokenizer = None
             self.encoder = None
@@ -631,7 +700,49 @@ class EmbeddingModel:
         return self._embed_minilm(texts)
 
     def embed_chunks(self, chunks: Sequence[Any]) -> np.ndarray:
-        return self.embed([c.text if hasattr(c, "text") else str(c) for c in chunks])
+        texts = [c.text if hasattr(c, "text") else str(c) for c in chunks]
+        enc = self._hashed
+        use_aux = (
+            self.backend == "lexical"
+            and (enc.section_weight > 0 or enc.neighbor_weight > 0)
+        )
+        if not use_aux:
+            return self.embed(texts)
+        # index-side context channels (round 4, VERDICT r3 #4): section
+        # title + adjacent-chunk text, merged into each chunk's features at
+        # a reduced weight. Queries never see these; retrieval ranking does.
+        sections = [getattr(c, "section", None) or "" for c in chunks]
+        pages = [getattr(c, "page_number", None) for c in chunks]
+
+        def _adjacent(i: int, j: int) -> bool:
+            # guard against stitching unrelated documents: neighbors must
+            # sit on the same/adjacent page when pages are known
+            pi, pj = pages[i], pages[j]
+            return pi is None or pj is None or abs(int(pi) - int(pj)) <= 1
+
+        neighbors = []
+        for i in range(len(texts)):
+            parts = []
+            if i > 0 and _adjacent(i, i - 1):
+                parts.append(texts[i - 1])
+            if i + 1 < len(texts) and _adjacent(i, i + 1):
+                parts.append(texts[i + 1])
+            neighbors.append(" ".join(parts))
+
+        outs = []
+        for i in range(0, len(texts), 512):
+            group = texts[i : i + 512]
+            aux = []
+            if enc.section_weight > 0:
+                aux.append((sections[i : i + 512], enc.section_weight))
+            if enc.neighbor_weight > 0:
+                aux.append((neighbors[i : i + 512], enc.neighbor_weight))
+            pad = _bucket_len(max(len(group), 8)) if len(group) < 512 else 512
+            outs.append(enc.encode_dev(
+                group, pad_to=max(pad, self.batch_size), aux_channels=aux,
+            ))
+        dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+        return np.asarray(dev)
 
     # -- corpus fitting (lexical backend) ------------------------------------
     @property

@@ -70,6 +70,7 @@ class RAGPipeline:
         """Index a file path or a list of raw text strings. Returns seconds."""
         self._require_setup()
         t0 = time.perf_counter()
+        self._last_section_title = ""  # carry-over across pages, per call
         pages: List = []
         if isinstance(source, str):
             pages = self.doc_processor.process_file(source)
@@ -82,12 +83,32 @@ class RAGPipeline:
         chunks: List[Chunk] = []
         for text, page in pages:
             # section-labeled chunking (reference attaches section metadata
-            # from document processing, document_processing.py:169-218)
+            # from document processing, document_processing.py:169-218).
+            # Chunk boundaries come from extract_sections' conservative
+            # header rules (stable geometry); labels are then REFINED with
+            # the Title-Case span pass (round 4) so chunks inside an
+            # unnumbered subsection inherit its title as metadata/features.
             if self.doc_processor.extract_sections_enabled:
                 for title, body in self.doc_processor.extract_sections(text):
-                    chunks.extend(
-                        self.chunker.chunk(body, page_number=page, section=title or None)
+                    # a section runs until the next header, not the page
+                    # edge: carry the last seen title across bodies/pages
+                    eff_title = title or self._last_section_title
+                    body_chunks = self.chunker.chunk(
+                        body, page_number=page, section=eff_title or None
                     )
+                    spans = self.doc_processor.section_spans(
+                        body, default_title=eff_title
+                    )
+                    for c in body_chunks:
+                        best, best_ov = c.section, 0
+                        for t, s0, s1 in spans:
+                            ov = min(c.end_char, s1) - max(c.start_char, s0)
+                            if ov > best_ov:
+                                best, best_ov = t, ov
+                        c.section = best or None
+                    if spans:
+                        self._last_section_title = spans[-1][0]
+                    chunks.extend(body_chunks)
             else:
                 chunks.extend(self.chunker.chunk(text, page_number=page))
         if not chunks:

@@ -79,6 +79,14 @@ class ContextRetriever:
         # does NOT move context quality (top-3 picks are stable from 2x to
         # 16x — the 0.7-semantic blend dominates); default stays 2 (parity).
         self.rerank_fetch_mult = int(config.get("rerank_fetch_mult", 2))
+        # Pseudo-relevance feedback (round 4, VERDICT r3 #4): Rocchio
+        # re-query in embedding space — q' = normalize(q + β·centroid(top
+        # prf_k docs)), then the real retrieval runs on q'. A recall device
+        # for definitional queries whose answer chunks share vocabulary with
+        # the FIRST retrieval's winners but not with the query itself; costs
+        # one extra (cheap, corpus-dominated) scan. β=0 disables (default).
+        self.prf_beta = float(config.get("prf_beta", 0.0))
+        self.prf_k = int(config.get("prf_k", 3))
         # fused=True: route batches through the single-dispatch device
         # program (hashed-presence rerank; no `where` support) — the
         # serving-latency configuration
@@ -115,6 +123,8 @@ class ContextRetriever:
         q_emb = self.embedder.embed(list(queries), as_numpy=False, is_query=True)
         if isinstance(q_emb, np.ndarray):  # backend without a device path
             q_emb = jnp.asarray(q_emb)
+        if self.prf_beta > 0:
+            q_emb = self._prf_requery(q_emb, where)
         if where:
             s_np, r_np = self.store._masked_search(q_emb, fetch_k, where)
             s_dev, r_dev = jnp.asarray(s_np), jnp.asarray(r_np)
@@ -182,6 +192,19 @@ class ContextRetriever:
     _PRESENCE_TOKENS = 128  # token ids kept per chunk
     _QUERY_TOKENS = 32  # token ids kept per query
     _TOKEN_SPACE = 1 << 30  # FNV space: collision odds ~1e-6 per doc-query
+
+    def _prf_requery(self, q_emb: "jnp.ndarray", where) -> "jnp.ndarray":
+        """Rocchio PRF: blend the top-``prf_k`` result centroid into the
+        query embedding (stays on device — one extra scan + gather)."""
+        k0 = min(max(self.prf_k, 1), max(self.store.n, 1))
+        if where:
+            _, r0 = self.store._masked_search(q_emb, k0, where)
+            r0 = jnp.asarray(r0)
+        else:
+            _, r0 = self.store.search_batch_dev(q_emb, k0)
+        cent = jnp.mean(self.store.gather_vectors_dev(r0), axis=1)  # [B, D]
+        q2 = q_emb + self.prf_beta * cent
+        return q2 / jnp.maximum(jnp.linalg.norm(q2, axis=-1, keepdims=True), 1e-12)
 
     @staticmethod
     def _token_id(word: str) -> int:

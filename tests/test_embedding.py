@@ -139,3 +139,102 @@ def test_embed_chunks_accepts_chunk_objects():
     chunks = [Chunk(text="alpha beta", chunk_id="chunk_0"), Chunk(text="gamma", chunk_id="chunk_1")]
     out = em.embed_chunks(chunks)
     assert out.shape == (2, 384)
+
+
+def test_aux_channels_shift_doc_embedding():
+    """Section/neighbor aux channels (round 4) must change the document
+    embedding in the direction of the aux text, and leave queries alone."""
+    import numpy as np
+
+    from crs_tpu.rag.embedding import LexicalLSAEncoder
+
+    docs = [
+        "weights are rounded to int8 scales per row for inference",
+        "teacher student transfer of logits improves small models",
+        "sparsity removes attention heads and neurons from layers",
+    ] * 20
+    enc = LexicalLSAEncoder(dim=32, section_weight=0.5)
+    enc.fit(docs)
+    base = enc.encode(["rounded to int8 scales"])
+    with_aux = enc.encode(
+        ["rounded to int8 scales"],
+        aux_channels=[(["quantization methods"], enc.section_weight)],
+    )
+    assert not np.allclose(base, with_aux)
+    # the aux'd doc moves toward a pure section-title doc
+    sec_vec = enc.encode(["quantization methods"])
+    assert float(with_aux @ sec_vec.T) > float(base @ sec_vec.T)
+    # queries are untouched by aux config
+    q1 = enc.encode(["what about int8?"], is_query=True)
+    enc2 = LexicalLSAEncoder(dim=32)
+    enc2.fit(docs)
+    q2 = enc2.encode(["what about int8?"], is_query=True)
+    np.testing.assert_allclose(q1, q2, atol=1e-6)
+
+
+def test_embed_chunks_uses_section_and_neighbors():
+    import numpy as np
+
+    from crs_tpu.rag.chunking import Chunk
+    from crs_tpu.rag.embedding import EmbeddingModel
+
+    texts = [
+        "alpha beta gamma delta content one",
+        "epsilon zeta eta theta content two",
+        "iota kappa lambda mu content three",
+    ] * 10
+    chunks = [
+        Chunk(text=t, chunk_id=f"c{i}", page_number=1 + i // 15,
+              section="Section Title")
+        for i, t in enumerate(texts)
+    ]
+    em_plain = EmbeddingModel({"backend": "lexical", "embedding_dim": 32})
+    em_plain.fit(texts)
+    plain = em_plain.embed_chunks(chunks)
+
+    em_aux = EmbeddingModel({
+        "backend": "lexical", "embedding_dim": 32,
+        "section_weight": 0.4, "neighbor_weight": 0.2,
+    })
+    em_aux.fit(texts)
+    aux = em_aux.embed_chunks(chunks)
+    assert plain.shape == aux.shape
+    assert not np.allclose(plain, aux)
+
+
+def test_prf_requery_recovers_vocabulary_bridge():
+    """Rocchio PRF: a query sharing terms only with a bridge doc must pull
+    in the doc that shares terms with the BRIDGE but not the query."""
+    import numpy as np
+
+    from crs_tpu.rag.embedding import EmbeddingModel
+    from crs_tpu.rag.index import VectorStore
+    from crs_tpu.rag.retrieval import ContextRetriever
+
+    docs = (
+        ["memory footprint shrinks with quantization rounding int8"] * 3
+        + ["rounding int8 scales preserve accuracy at deployment"] * 3
+        + ["unrelated cooking recipes with tomatoes and basil"] * 3
+    )
+    texts = [f"{d} variant {i}" for i, d in enumerate(docs)]
+    em = EmbeddingModel({"backend": "lexical", "embedding_dim": 32})
+    em.fit(texts)
+    store = VectorStore({"format": "fp32", "block_size": 64})
+    store.create_index(texts, em.embed_chunks(texts))
+
+    base = ContextRetriever(store, em, {
+        "top_k": 6, "similarity_threshold": -1.0, "rerank": False,
+        "diversity_penalty": 0.0})
+    prf = ContextRetriever(store, em, {
+        "top_k": 6, "similarity_threshold": -1.0, "rerank": False,
+        "diversity_penalty": 0.0, "prf_beta": 0.5, "prf_k": 2})
+    q = "memory footprint quantization"
+    r_base = [r["text"] for r in base.retrieve(q)]
+    r_prf = [r["text"] for r in prf.retrieve(q)]
+    assert len(r_prf) == 6 and set(r_prf) != set()
+    # PRF must not surface the unrelated cluster
+    assert not any("cooking" in t for t in r_prf[:4])
+    # and must rank the bridge-adjacent docs at least as well as baseline
+    def rank_of(lst, marker):
+        return next((i for i, t in enumerate(lst) if marker in t), len(lst))
+    assert rank_of(r_prf, "deployment") <= rank_of(r_base, "deployment")
