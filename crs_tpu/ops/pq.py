@@ -20,6 +20,22 @@ Round-2 additions (VERDICT r1 #4 — recall at high compression):
   coarse-2048 + residual M=12 reaches **0.92 recall at 14 bytes/vec** on the
   same benchmark (plain M=16 at 16 bytes: 0.43).
 
+Round-4 addition (VERDICT r3 #2 — recall at fixed bytes/vec):
+
+- **Anisotropic (score-aware) quantization loss** (``aniso_eta``): for MIPS
+  retrieval the quantity that matters is the *score* error ⟨q, x − x̃⟩, and
+  high-scoring queries concentrate near the datapoint's own direction — so
+  quantization error parallel to x̂ costs recall while orthogonal error
+  mostly doesn't (Guo et al., "Accelerating Large-Scale Inference with
+  Anisotropic Vector Quantization", ICML 2020 — the ScaNN loss). Training
+  and encoding minimize ``‖e‖² + (η−1)·⟨e, x̂⟩²`` instead of plain ‖e‖²;
+  the centroid update becomes a batched [dsub, dsub] linear solve (one per
+  codeword — matmul-shaped, runs on device). The full-vector loss is
+  decomposed per-subspace by dropping the cross-subspace terms of
+  ⟨e, x̂⟩² (x̂ sliced, not re-normalized, so per-subspace weights inherit
+  the direction's energy split). ADC scoring is UNCHANGED — the codebooks
+  just place codewords to preserve inner products better.
+
 Everything is matmul-shaped for the MXU; the only host work is the 384²
 SVD in the Procrustes step.
 """
@@ -38,6 +54,7 @@ __all__ = [
     "ResidualPQ", "train_opq", "train_residual_pq", "residual_pq_encode",
     "residual_codes_ext",
     "residual_pq_adc_topk",
+    "aniso_eta_from_threshold",
 ]
 
 NEG_INF = jnp.float32(-1e30)
@@ -104,21 +121,103 @@ def kmeans(
     return centroids
 
 
+def aniso_eta_from_threshold(threshold: float, dim: int) -> float:
+    """ScaNN's parallel-cost weight η for unit-norm data: queries whose score
+    with x exceeds ``threshold·‖x‖`` drive the expected score loss, giving
+    η = (d−1)·T²/(1−T²) (Guo et al. 2020, Thm 3.2). T=0.2, d=384 → η ≈ 16."""
+    t2 = float(threshold) ** 2
+    return (dim - 1) * t2 / max(1.0 - t2, 1e-6)
+
+
+# Anisotropic training subsample cap: the centroid update's Σ u·uᵀ term
+# costs O(N·K·dsub²) per Lloyd iteration — at 256k sample rows that's ~2e11
+# flops/iter/subspace, pointless for codebook estimation. 64k rows estimate
+# 256 codewords/subspace with ≥250 rows each.
+_ANISO_TRAIN_MAX = 65536
+
+
+@partial(jax.jit, static_argnames=("num_clusters", "num_iters"))
+def _kmeans_aniso(
+    key: jax.Array,
+    points: jax.Array,  # [N, D] f32 (one subspace's rows)
+    dirs: jax.Array,  # [N, D] f32 — subspace slice of the unit datapoint
+    num_clusters: int,
+    num_iters: int,
+    eta: jax.Array,  # scalar ≥ 1; 1 = isotropic
+) -> jax.Array:
+    """Lloyd's under the anisotropic loss ‖e‖² + (η−1)·⟨e, u⟩², e = x − c.
+
+    Assignment expands the loss into matmuls (⟨x,c⟩, ⟨u,c⟩ tables); the
+    update solves the per-codeword normal equations
+    (n_k·I + (η−1)·Σ_{i∈k} u_i u_iᵀ)·c = Σ_{i∈k}(x_i + (η−1)⟨u_i,x_i⟩·u_i)
+    as a batched [K, D, D] ``jnp.linalg.solve``. Empty clusters keep their
+    previous centroid (their system is replaced by I·c = 0 and discarded).
+    Sample init (aniso is only used for PQ codebooks, K ≪ N)."""
+    n, d = points.shape
+    sel = jax.random.choice(key, n, (num_clusters,), replace=num_clusters > n)
+    init_centroids = points[sel]
+    w = eta - 1.0
+    a = jnp.sum(points * dirs, axis=1)  # [N] ⟨x, u⟩
+    pnorm2 = jnp.sum(points * points, axis=1)
+    ax = points + w * a[:, None] * dirs  # A_i x_i rows
+    eye = jnp.eye(d, dtype=jnp.float32)
+
+    def step(centroids, _):
+        dots = jnp.dot(points, centroids.T, preferred_element_type=jnp.float32)
+        udots = jnp.dot(dirs, centroids.T, preferred_element_type=jnp.float32)
+        loss = (pnorm2[:, None] - 2.0 * dots
+                + jnp.sum(centroids * centroids, axis=1)[None, :]
+                + w * (a[:, None] - udots) ** 2)
+        assign = jnp.argmin(loss, axis=1)
+        one_hot = jax.nn.one_hot(assign, num_clusters, dtype=jnp.float32)
+        counts = jnp.sum(one_hot, axis=0)  # [K]
+        s = jnp.dot(one_hot.T, ax, preferred_element_type=jnp.float32)  # [K, D]
+        uu = jnp.einsum("nk,nd,ne->kde", one_hot, dirs, dirs,
+                        preferred_element_type=jnp.float32)
+        g = counts[:, None, None] * eye[None] + w * uu
+        g = jnp.where(counts[:, None, None] > 0, g, eye[None])
+        new = jnp.linalg.solve(g, s[..., None])[..., 0]
+        new = jnp.where(counts[:, None] > 0, new, centroids)
+        return new, None
+
+    centroids, _ = jax.lax.scan(step, init_centroids, None, length=num_iters)
+    return centroids
+
+
 def train_pq(
     key: jax.Array,
     vectors: jax.Array,  # [N, D]
     num_subspaces: int = 8,
     num_clusters: int = 256,
     num_iters: int = 25,
+    dirs: Optional[jax.Array] = None,  # [N, D] unit datapoint directions
+    aniso_eta: Optional[float] = None,
 ) -> PQCodebook:
-    """Train per-subspace codebooks. D must be divisible by num_subspaces."""
+    """Train per-subspace codebooks. D must be divisible by num_subspaces.
+
+    With ``dirs`` + ``aniso_eta`` > 1, codebooks minimize the anisotropic
+    (score-aware) loss instead of plain squared error — see module
+    docstring. ``dirs`` rows are slices of the full unit vector (NOT
+    re-normalized per subspace)."""
     n, d = vectors.shape
     assert d % num_subspaces == 0, "dim must divide evenly into subspaces"
     dsub = d // num_subspaces
-    sub = vectors.reshape(n, num_subspaces, dsub).transpose(1, 0, 2)  # [M, N, Dsub]
     keys = jax.random.split(key, num_subspaces)
     k_eff = min(num_clusters, n)
-    centroids = jax.vmap(lambda kk, pts: kmeans(kk, pts, k_eff, num_iters))(keys, sub)
+    if dirs is not None and aniso_eta is not None and aniso_eta > 1.0:
+        if n > _ANISO_TRAIN_MAX:
+            stride = -(-n // _ANISO_TRAIN_MAX)
+            vectors, dirs = vectors[::stride], dirs[::stride]
+            n = vectors.shape[0]
+        sub = vectors.reshape(n, num_subspaces, dsub).transpose(1, 0, 2)
+        dsl = dirs.reshape(n, num_subspaces, dsub).transpose(1, 0, 2)
+        centroids = jax.vmap(
+            lambda kk, pts, dd: _kmeans_aniso(
+                kk, pts, dd, k_eff, num_iters, jnp.float32(aniso_eta))
+        )(keys, sub, dsl)
+    else:
+        sub = vectors.reshape(n, num_subspaces, dsub).transpose(1, 0, 2)  # [M, N, Dsub]
+        centroids = jax.vmap(lambda kk, pts: kmeans(kk, pts, k_eff, num_iters))(keys, sub)
     if k_eff < num_clusters:  # pad codebook so code ids stay uint8-stable
         pad = jnp.zeros((num_subspaces, num_clusters - k_eff, dsub), jnp.float32)
         centroids = jnp.concatenate([centroids, pad], axis=1)
@@ -126,18 +225,33 @@ def train_pq(
 
 
 @jax.jit
-def pq_encode(codebook: PQCodebook, vectors: jax.Array) -> jax.Array:
+def pq_encode(
+    codebook: PQCodebook,
+    vectors: jax.Array,
+    dirs: Optional[jax.Array] = None,  # [N, D] unit datapoint directions
+    aniso_eta: Optional[jax.Array] = None,
+) -> jax.Array:
     """Encode vectors → code ids [N, M] (nearest centroid per subspace).
 
     Codes are stored as uint8 when K ≤ 256 (the "M bytes/vector" claim is
     real on-device — int32 codes would quadruple the compressed corpus),
-    int32 otherwise."""
+    int32 otherwise. With ``dirs`` + ``aniso_eta``, assignment minimizes the
+    anisotropic loss the codebooks were trained under (one extra [N, M, K]
+    direction-table einsum — ~2× encode cost, nothing at query time)."""
     n, d = vectors.shape
     m, k, dsub = codebook.centroids.shape
     sub = vectors.reshape(n, m, dsub)
     dots = jnp.einsum("nmd,mkd->nmk", sub, codebook.centroids, preferred_element_type=jnp.float32)
     c_norms = jnp.sum(codebook.centroids**2, axis=2)  # [M, K]
-    ids = jnp.argmax(2.0 * dots - c_norms[None, :, :], axis=2)
+    score = 2.0 * dots - c_norms[None, :, :]  # maximize ⇔ min Euclidean
+    if dirs is not None and aniso_eta is not None:
+        w = jnp.float32(aniso_eta) - 1.0
+        dsl = dirs.reshape(n, m, dsub)
+        udots = jnp.einsum("nmd,mkd->nmk", dsl, codebook.centroids,
+                           preferred_element_type=jnp.float32)
+        a = jnp.sum(sub * dsl, axis=2)  # [N, M] ⟨x, u⟩ per subspace
+        score = score - w * (a[..., None] - udots) ** 2
+    ids = jnp.argmax(score, axis=2)
     return ids.astype(jnp.uint8 if k <= 256 else jnp.int32)
 
 
@@ -176,9 +290,15 @@ def train_opq(
     num_iters: int = 20,
     opq_iters: int = 5,
     init_rotation: Optional[np.ndarray] = None,
+    dirs: Optional[jax.Array] = None,  # [N, D] unit datapoint directions
+    aniso_eta: Optional[float] = None,
 ) -> Tuple[jax.Array, PQCodebook]:
     """Learn (rotation, codebooks) by alternating PQ training and the
-    orthogonal-Procrustes solve R = UVᵀ of SVD(Xᵀ·recon)."""
+    orthogonal-Procrustes solve R = UVᵀ of SVD(Xᵀ·recon).
+
+    ``dirs`` live in the same (un-rotated) space as ``vectors`` and are
+    rotated alongside them each OPQ round (R is orthogonal, so rotated
+    directions stay slices of a unit vector)."""
     d = vectors.shape[1]
     if init_rotation is None:
         rng = np.random.default_rng(0)
@@ -186,11 +306,19 @@ def train_opq(
         r = jnp.asarray(r_np, jnp.float32)
     else:
         r = jnp.asarray(init_rotation, jnp.float32)
+
+    def _rot_dirs(rot):
+        if dirs is None or aniso_eta is None:
+            return None
+        return jnp.dot(dirs, rot, preferred_element_type=jnp.float32)
+
     cb = None
     for _ in range(opq_iters):
         xr = jnp.dot(vectors, r, preferred_element_type=jnp.float32)
-        cb = train_pq(key, xr, num_subspaces, num_clusters, num_iters)
-        codes = pq_encode(cb, xr)
+        dr = _rot_dirs(r)
+        cb = train_pq(key, xr, num_subspaces, num_clusters, num_iters,
+                      dirs=dr, aniso_eta=aniso_eta)
+        codes = pq_encode(cb, xr, dr, aniso_eta)
         recon = _pq_reconstruct(cb, codes)
         cross = np.asarray(
             jnp.dot(vectors.T, recon, preferred_element_type=jnp.float32),
@@ -199,7 +327,8 @@ def train_opq(
         u, _, vt = np.linalg.svd(cross, full_matrices=False)
         r = jnp.asarray(u @ vt, jnp.float32)
     xr = jnp.dot(vectors, r, preferred_element_type=jnp.float32)
-    cb = train_pq(key, xr, num_subspaces, num_clusters, num_iters)
+    cb = train_pq(key, xr, num_subspaces, num_clusters, num_iters,
+                  dirs=_rot_dirs(r), aniso_eta=aniso_eta)
     return r, cb
 
 
@@ -212,8 +341,15 @@ def train_residual_pq(
     num_iters: int = 20,
     opq_iters: int = 4,
     coarse_iters: int = 10,
+    aniso_eta: Optional[float] = None,
 ) -> ResidualPQ:
-    """IVF-style residual PQ with an OPQ rotation learned on the residuals."""
+    """IVF-style residual PQ with an OPQ rotation learned on the residuals.
+
+    ``aniso_eta`` > 1 trains the residual codebooks under the anisotropic
+    score-aware loss, weighting quantization error parallel to each
+    datapoint's own direction x̂ (the direction high-scoring queries come
+    from). The coarse quantizer stays Euclidean — its term in the ADC score
+    is exact, so only the residual encoding contributes score error."""
     n, d = vectors.shape
     rng = np.random.default_rng(0)
     r0, _ = np.linalg.qr(rng.standard_normal((d, d)).astype(np.float64))
@@ -231,9 +367,16 @@ def train_residual_pq(
     # identity init directly on residuals and KEEP its rotation applied to
     # both coarse and residual space (a global rotation commutes with the
     # coarse assignment since it preserves distances).
+    dirs = None
+    if aniso_eta is not None and aniso_eta > 1.0:
+        # score-relevant direction = the (rotated) datapoint itself, NOT the
+        # residual: score error is ⟨q, r − r̃⟩ and q concentrates near x̂
+        dirs = xr / jnp.maximum(
+            jnp.linalg.norm(xr, axis=1, keepdims=True), 1e-12)
     r1, cb = train_opq(
         k2, residuals, num_subspaces, num_clusters, num_iters, opq_iters,
         init_rotation=np.eye(d, dtype=np.float32),
+        dirs=dirs, aniso_eta=aniso_eta,
     )
     rotation = jnp.dot(r0, r1, preferred_element_type=jnp.float32)
     coarse_rot = jnp.dot(coarse, r1, preferred_element_type=jnp.float32)
@@ -248,11 +391,22 @@ def _nearest(centroids: jax.Array, points: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def residual_pq_encode(rpq: ResidualPQ, vectors: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Encode → (coarse_ids [N] int32, codes [N, M] uint8 for K ≤ 256)."""
+def residual_pq_encode(
+    rpq: ResidualPQ,
+    vectors: jax.Array,
+    aniso_eta: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode → (coarse_ids [N] int32, codes [N, M] uint8 for K ≤ 256).
+
+    ``aniso_eta`` must match what the codebooks were trained with (the
+    index threads its ``pq_aniso_eta`` config through both)."""
     xr = jnp.dot(vectors, rpq.rotation, preferred_element_type=jnp.float32)
     cids = _nearest(rpq.coarse, xr)
-    codes = pq_encode(rpq.codebook, xr - rpq.coarse[cids])
+    dirs = None
+    if aniso_eta is not None:
+        dirs = xr / jnp.maximum(
+            jnp.linalg.norm(xr, axis=1, keepdims=True), 1e-12)
+    codes = pq_encode(rpq.codebook, xr - rpq.coarse[cids], dirs, aniso_eta)
     return cids, codes
 
 

@@ -33,8 +33,8 @@ import numpy as np
 
 from ..ops.pallas_scan import pallas_topk, pallas_topk_int8, pallas_topk_pq_adc
 from ..ops.pq import (
-    PQCodebook, ResidualPQ, pq_adc_topk, pq_encode, residual_pq_adc_topk,
-    residual_pq_encode, train_pq, train_residual_pq,
+    PQCodebook, ResidualPQ, aniso_eta_from_threshold, pq_adc_topk, pq_encode,
+    residual_pq_adc_topk, residual_pq_encode, train_pq, train_residual_pq,
 )
 from ..ops.quant import int8_topk, scalar_quantize
 from ..ops.topk import blockwise_topk, exact_topk
@@ -79,6 +79,11 @@ class VectorStore:
         self.pq_iters = int(config.get("pq_iters", 25))
         self.pq_coarse_clusters = config.get("pq_coarse_clusters", "auto")
         self.pq_opq_iters = int(config.get("pq_opq_iters", 4))
+        # Round 4 (VERDICT r3 #2): anisotropic score-aware quantization loss
+        # (ScaNN, Guo et al. 2020) — η > 1 weights quantization error
+        # parallel to each datapoint's direction, lifting recall at fixed
+        # bytes/vec. 0/1 = off; "auto" = η(T=0.2, dim). See ops/pq.py.
+        self.pq_aniso_eta = config.get("pq_aniso_eta", 0.0)
         # Round 3 (VERDICT r2 #2) — where the pq format keeps its exact-ish
         # rescore mirror:
         #   "int8": int8 codes in HBM alongside the PQ codes (round-2
@@ -126,6 +131,18 @@ class VectorStore:
         # typed metadata columns for vectorized `where` masks, built lazily
         # per key; entries self-invalidate when len(metadatas) changes
         self._md_cols: Dict[str, Tuple[np.ndarray, np.ndarray, int]] = {}
+
+    def _aniso_eta(self) -> Optional[float]:
+        """Resolve pq_aniso_eta config → η for ops/pq.py (None = isotropic)."""
+        e = self.pq_aniso_eta
+        if e == "auto":
+            # uses the live dim — only meaningful once vectors are known
+            # (create_index sets dim before any _aniso_eta call on the
+            # build/encode paths); tiny dims give η ≤ 1 → isotropic
+            e = aniso_eta_from_threshold(0.2, max(self.dim, 2))
+        else:
+            e = float(e)
+        return e if e > 1.0 else None
 
     # -- build -------------------------------------------------------------
     def create_index(
@@ -175,9 +192,12 @@ class VectorStore:
                 self._rpq = train_residual_pq(
                     jax.random.PRNGKey(self.seed), vecs, m, self.pq_clusters,
                     int(coarse), self.pq_iters, self.pq_opq_iters,
+                    aniso_eta=self._aniso_eta(),
                 )
                 self._pq_codebook = self._rpq.codebook
-                cids, codes_pq = residual_pq_encode(self._rpq, jnp.asarray(padded, jnp.float32))
+                cids, codes_pq = residual_pq_encode(
+                    self._rpq, jnp.asarray(padded, jnp.float32),
+                    self._aniso_eta())
                 self._pq_coarse_ids, _ = shard_corpus(np.asarray(cids), self.mesh)
                 self._pq_codes, _ = shard_corpus(np.asarray(codes_pq), self.mesh)
                 if self.pq_rescore != "none":
@@ -231,14 +251,26 @@ class VectorStore:
                 self._rpq = train_residual_pq(
                     key, valid, m, self.pq_clusters, int(coarse),
                     self.pq_iters, self.pq_opq_iters,
+                    aniso_eta=self._aniso_eta(),
                 )
-                self._pq_coarse_ids, self._pq_codes = residual_pq_encode(self._rpq, vecs)
+                self._pq_coarse_ids, self._pq_codes = residual_pq_encode(
+                    self._rpq, vecs, self._aniso_eta())
                 self._pq_codebook = self._rpq.codebook
             else:
+                eta = self._aniso_eta()
+                dirs = None
+                if eta is not None:
+                    dirs = valid / jnp.maximum(
+                        jnp.linalg.norm(valid, axis=1, keepdims=True), 1e-12)
                 self._pq_codebook = train_pq(
-                    key, valid, m, self.pq_clusters, self.pq_iters
+                    key, valid, m, self.pq_clusters, self.pq_iters,
+                    dirs=dirs, aniso_eta=eta,
                 )
-                self._pq_codes = pq_encode(self._pq_codebook, vecs)
+                all_dirs = None
+                if eta is not None:
+                    all_dirs = vecs / jnp.maximum(
+                        jnp.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                self._pq_codes = pq_encode(self._pq_codebook, vecs, all_dirs, eta)
             # exact-ish rescore mirror per pq_rescore mode: "int8" keeps it
             # in HBM (4x smaller than fp32), "host" keeps it in host RAM so
             # HBM serves at M+2 bytes/vec, "none" skips it (pure ADC)
@@ -644,11 +676,18 @@ class VectorStore:
             self._codes = upd(self._codes, codes, start)
             self._scales = upd(self._scales, scales, start)
         else:  # pq: encode new rows with the EXISTING codebooks + int8 rescore codes
+            eta = self._aniso_eta()
             if self._rpq is not None:
-                new_cids, new_codes = residual_pq_encode(self._rpq, jnp.asarray(block))
+                new_cids, new_codes = residual_pq_encode(
+                    self._rpq, jnp.asarray(block), eta)
                 self._pq_coarse_ids = upd(self._pq_coarse_ids, new_cids, start)
             else:
-                new_codes = pq_encode(self._pq_codebook, jnp.asarray(block))
+                blk = jnp.asarray(block)
+                bdirs = None
+                if eta is not None:
+                    bdirs = blk / jnp.maximum(
+                        jnp.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
+                new_codes = pq_encode(self._pq_codebook, blk, bdirs, eta)
             self._pq_codes = upd(self._pq_codes, new_codes, start)
             self._pq_codes_ext = None  # fused-scan layout cache is now stale
             if self.pq_rescore == "int8":
@@ -850,6 +889,7 @@ class VectorStore:
             "dim": self.dim,
             "format": self.format,
             "pq_rescore": self.pq_rescore,
+            "pq_aniso_eta": self.pq_aniso_eta,
             "block_size": self.block_size,
             "ids": self.ids,
             "documents": self.documents,
@@ -867,6 +907,9 @@ class VectorStore:
         self.dim = meta["dim"]
         self.format = meta["format"]
         self.pq_rescore = meta.get("pq_rescore", self.pq_rescore)
+        # η must roundtrip: incremental adds re-encode with the loaded
+        # codebooks, and assignment must use the loss they were trained under
+        self.pq_aniso_eta = meta.get("pq_aniso_eta", self.pq_aniso_eta)
         self.block_size = meta.get("block_size", self.block_size)
         self.ids = meta["ids"]
         self.documents = meta["documents"]

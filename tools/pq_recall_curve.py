@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--ms", default="12,16,24", help="subspace counts")
     ap.add_argument("--coarses", default="2048,4096")
     ap.add_argument("--cands", default="100,200,400")
+    ap.add_argument("--etas", default="0",
+                    help="aniso η values (comma list); 0=isotropic, "
+                         "'auto'=ScaNN η(T=0.2, dim) — see ops/pq.py")
     ap.add_argument("--engine", default="pallas", choices=("pallas", "xla"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--block-size", type=int, default=2048)
@@ -60,8 +63,8 @@ def main():
 
     from crs_tpu.ops.pallas_scan import pallas_topk_residual_pq_adc
     from crs_tpu.ops.pq import (
-        PQCodebook, ResidualPQ, residual_codes_ext, residual_pq_adc_topk,
-        residual_pq_encode, train_residual_pq,
+        PQCodebook, ResidualPQ, aniso_eta_from_threshold, residual_codes_ext,
+        residual_pq_adc_topk, residual_pq_encode, train_residual_pq,
     )
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from bench_pq_serving import CHUNK, _gen_chunk
@@ -144,13 +147,23 @@ def main():
             mirror_scales[ci * chunk:(ci + 1) * chunk] = np.asarray(qs)
         np.savez(mir_cache, mirror=mirror, scales=mirror_scales)
 
+    def parse_eta(s):
+        s = s.strip()
+        if s == "auto":
+            return aniso_eta_from_threshold(0.2, d)
+        v = float(s)
+        return v if v > 1.0 else None
+
     rows_out = []
     q_np = np.asarray(queries)
-    for m, coarse in itertools.product(
+    for m, coarse, eta_s in itertools.product(
         [int(x) for x in args.ms.split(",")],
         [int(x) for x in args.coarses.split(",")],
+        args.etas.split(","),
     ):
-        cpath = Path(args.cache_dir) / f"codes_{n}_m{m}_c{coarse}.npz"
+        eta = parse_eta(eta_s)
+        etag = "" if eta is None else f"_a{eta:.3g}"
+        cpath = Path(args.cache_dir) / f"codes_{n}_m{m}_c{coarse}{etag}.npz"
         if cpath.exists():
             data = np.load(cpath)
             rpq = ResidualPQ(rotation=jnp.asarray(data["rotation"]),
@@ -163,8 +176,9 @@ def main():
                 jax.random.PRNGKey(7), c0[: min(262_144, chunk)],
                 num_subspaces=m, coarse_clusters=coarse,
                 num_iters=12, opq_iters=2, coarse_iters=8,
+                aniso_eta=eta,
             )
-            enc = jax.jit(lambda x: residual_pq_encode(rpq, x))
+            enc = jax.jit(lambda x: residual_pq_encode(rpq, x, eta))
             ext_host = np.empty((n, m + 2), np.uint8)
             for ci in range(nchunks):
                 cids, codes = enc(gen(chunk_keys[ci]))
@@ -214,6 +228,7 @@ def main():
 
             row = {
                 "rows": n, "m": m, "coarse": coarse, "cand": cand,
+                "aniso_eta": 0.0 if eta is None else round(float(eta), 3),
                 "bytes_per_vec": m + 2,
                 "recall_none": round(recall(adc_i_np, args.k), 4),
                 "recall_in_cand": round(recall(adc_i_np, cand), 4),

@@ -42,6 +42,12 @@ run fused_mlp 2400 python tools/bench_fused_mlp.py --h 4096 --inter 14336 --laye
 run pq_curve_4m 10800 python -u tools/pq_recall_curve.py --rows 4000000 \
     --out "$OUT/pq_curve_4m.json"
 
+# 5b. Anisotropic (ScaNN-loss) codebooks on the strongest configs: same
+#     bytes/vec, recall lift from score-aware codeword placement.
+run pq_curve_4m_aniso 7200 python -u tools/pq_recall_curve.py --rows 4000000 \
+    --ms 12,16 --coarses 2048,4096 --cands 200,400 --etas auto \
+    --out "$OUT/pq_curve_4m_aniso.json"
+
 # 6. PQ-only serving at 40M (codes cached for resume), then 100M
 run pq40m 9000 python -u tools/bench_pq_serving.py --rows 40000000 --codes-cache /tmp/pq40m_codes.npz
 run pq100m 9000 python -u tools/bench_pq_serving.py --rows 100000000 --no-host-mirror --codes-cache /tmp/pq100m_codes.npz
