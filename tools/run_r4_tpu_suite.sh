@@ -26,6 +26,10 @@ run() {  # run <name> <timeout_s> <cmd...>
 # 1. Mosaic lowering smoke for the round-3 kernel forms (fast, gates the rest)
 run smoke 1800 python tools/tpu_kernel_smoke.py
 
+# 1b. Headline bench EARLY: if the tunnel dies again mid-suite, the driver
+#     artifact still gets a measured number instead of an outage marker.
+run bench 1200 python bench.py
+
 # 2. Scan kernel at 10M: round-3 form (repair+group auto) vs pinned round-2 form
 run scan10m_r3   1800 python tools/bench_scale.py --rows 10000000 --batch 64 --k 64
 run scan10m_r2   1800 python tools/bench_scale.py --rows 10000000 --batch 64 --k 64 --kb 8
@@ -56,9 +60,6 @@ run pq100m 9000 python -u tools/bench_pq_serving.py --rows 100000000 --no-host-m
 #    winning (M, coarse) matches; otherwise this trains its own.
 run pq_curve_40m 14400 python -u tools/pq_recall_curve.py --rows 40000000 \
     --ms 16 --coarses 4096 --cands 200,400 --out "$OUT/pq_curve_40m.json"
-
-# 8. Headline bench
-run bench 1200 python bench.py
 
 echo "== suite complete; logs in $OUT"
 grep -h . "$OUT"/*.log 2>/dev/null | grep -E '^\{' || true
