@@ -195,3 +195,19 @@ def test_store_aniso_off_by_default():
     assert VectorStore({"format": "pq"})._aniso_eta() is None
     assert VectorStore({"format": "pq", "pq_aniso_eta": 1.0})._aniso_eta() is None
     assert VectorStore({"format": "pq", "pq_aniso_eta": 4.0})._aniso_eta() == 4.0
+
+
+def test_aniso_kmeans_empty_cluster_robust():
+    """K near N forces empty clusters; the solve must stay finite (empty
+    systems are replaced by I·c = 0 and the previous centroid kept)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pq import _kmeans_aniso
+
+    rng = np.random.default_rng(5)
+    x = np.repeat(rng.standard_normal((4, 8)).astype(np.float32), 8, axis=0)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = _kmeans_aniso(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(u),
+                      16, 5, jnp.float32(8.0))
+    assert np.all(np.isfinite(np.asarray(c)))
