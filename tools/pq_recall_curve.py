@@ -247,11 +247,14 @@ def main():
             }
             rows_out.append(row)
             print(json.dumps(row), flush=True)
+            if args.out:  # write incrementally — a mid-run crash or tunnel
+                # drop must not lose hours of completed measurements
+                os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+                existing = (json.load(open(args.out))
+                            if os.path.exists(args.out) else [])
+                json.dump(existing + [row], open(args.out, "w"), indent=1)
 
     if args.out:
-        os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        existing = json.load(open(args.out)) if os.path.exists(args.out) else []
-        json.dump(existing + rows_out, open(args.out, "w"), indent=1)
         print(f"wrote {len(rows_out)} rows -> {args.out}", file=sys.stderr)
 
 
