@@ -87,6 +87,18 @@ def _auto_group(nblocks: int, block_bytes: int) -> int:
     return 1
 
 
+def _auto_group_adc(nblocks: int, block_size: int, qb: int, code_cols: int) -> int:
+    """Blocks per grid step for the ADC kernels: the VMEM pressure is NOT
+    the compressed codes (M+2 bytes/row — tiny) but the [QB, G·BS] f32
+    score tile plus the [G·BS, 256] one-hot intermediate; budget both
+    under ~16 MB (v5e VMEM is 128 MB; stay conservative for pipelining)."""
+    block_bytes = block_size * (4 * qb + 2 * 256 + code_cols)
+    for g in (8, 4, 2):
+        if g * block_bytes <= 16 * 2 ** 20 and nblocks >= 8 * g:
+            return g
+    return 1
+
+
 def _extract_block_topk(s, col, kb, out_s_ref, out_i_ref, g: int = 0):
     """Iteratively extract the top-kb entries of s [B, BS] into the outputs
     (sub-block slot ``g`` when the kernel processes grouped blocks).
@@ -472,39 +484,50 @@ def _scan_kernel_segmax_int8(
 
 
 def _scan_kernel_pq_adc(
-    bias_ref, lut_ref, codes_ref, out_s_ref, out_i_ref, *, kb: int, block_size: int, num_clusters: int
+    bias_ref, lut_ref, codes_ref, out_s_ref, out_i_ref,
+    *, kb: int, block_size: int, num_clusters: int, group: int = 1,
 ):
     """PQ ADC scan: scores[b, n] = Σ_m LUT[b, m, codes[n, m]].
 
     The per-element LUT gather is expressed as a one-hot matmul per subspace
     — (codes==k) one-hot [BS, K] times LUT_m [QB, K] on the MXU — which is
     the TPU-idiomatic form of the ADC table lookup (no lane-crossing gather).
+    Grouped like :func:`_scan_kernel` (round 4): one grid step scores
+    ``group`` blocks — the one-hot dots run over the whole [G·BS, K] tile
+    (bigger MXU ops) and the per-step fixed cost is paid once per G blocks;
+    extraction and ceilings stay per-``block_size`` sub-block.
     """
-    ic = pl.program_id(1)
+    icg = pl.program_id(1)
     qb = lut_ref.shape[0]
     m_sub = lut_ref.shape[1]
-    cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (block_size, num_clusters), 1)
+    rows = group * block_size
+    cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, num_clusters), 1)
     # codes arrive in their stored dtype (uint8 for K<=256 — widening OUTSIDE
     # the kernel would materialize an int32 copy of the whole compressed
     # corpus, 4x its size); widen per block on the VPU
-    codes_blk = codes_ref[:].astype(jnp.int32)  # [BS, M]
-    scores = jnp.zeros((qb, block_size), jnp.float32)
+    codes_blk = codes_ref[:].astype(jnp.int32)  # [G·BS, M]
+    scores = jnp.zeros((qb, rows), jnp.float32)
     for m in range(m_sub):
-        onehot = (codes_blk[:, m][:, None] == cluster_ids).astype(jnp.bfloat16)  # [BS, K]
+        onehot = (codes_blk[:, m][:, None] == cluster_ids).astype(jnp.bfloat16)  # [G·BS, K]
         lut_m = lut_ref[:, m, :].astype(jnp.bfloat16)  # [QB, K]
         scores = scores + jax.lax.dot_general(
             lut_m, onehot,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [QB, BS]
-    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1) + ic * block_size
+        )  # [QB, G·BS]
     scores = scores + bias_ref[:]  # precomputed 0/NEG_INF padding row
-    _extract_block_topk(scores, col, kb, out_s_ref, out_i_ref)
+    base = icg * rows
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1)
+    for g in range(group):
+        sub = scores[:, g * block_size:(g + 1) * block_size]
+        _extract_block_topk(sub, col1 + base + g * block_size, kb,
+                            out_s_ref, out_i_ref, g=g)
 
 
 def _scan_kernel_residual_pq_adc(
     bias_ref, coarse_lut_ref, lut_ref, codes_ref, out_s_ref, out_i_ref,
     *, kb: int, block_size: int, num_clusters: int, num_coarse: int,
+    group: int = 1,
 ):
     """Residual (IVF-style) PQ ADC scan:
     scores[b, n] = coarse_lut[b, cid_n] + Σ_m LUT[b, m, codes[n, m]].
@@ -513,29 +536,31 @@ def _scan_kernel_residual_pq_adc(
     codes array, keeping everything sublane-major; its [QB, C] LUT gather
     is a chunked one-hot matmul over 256-wide cluster windows — the window
     membership test is free because an out-of-window id equals no lane of
-    the window's iota.
+    the window's iota. Grouped like :func:`_scan_kernel_pq_adc` (round 4):
+    one grid step scores ``group`` blocks in one [QB, G·BS] tile.
     """
-    ic = pl.program_id(1)
+    icg = pl.program_id(1)
     qb = lut_ref.shape[0]
     m_sub = lut_ref.shape[1]
-    codes_blk = codes_ref[:].astype(jnp.int32)  # [BS, M+2]
-    cid = codes_blk[:, 0] * 256 + codes_blk[:, 1]  # [BS]
-    lane256 = jax.lax.broadcasted_iota(jnp.int32, (block_size, 256), 1)
-    scores = jnp.zeros((qb, block_size), jnp.float32)
+    rows = group * block_size
+    codes_blk = codes_ref[:].astype(jnp.int32)  # [G·BS, M+2]
+    cid = codes_blk[:, 0] * 256 + codes_blk[:, 1]  # [G·BS]
+    lane256 = jax.lax.broadcasted_iota(jnp.int32, (rows, 256), 1)
+    scores = jnp.zeros((qb, rows), jnp.float32)
     # the coarse term carries the LARGE magnitudes (centroid dot products);
     # bf16 here loses ~0.4% — enough to reorder candidates whose difference
     # is a small residual term (measured: real-chip ids diverged from the
     # f32 XLA oracle) — so the coarse one-hot dots run in f32. The residual
     # dots stay bf16: their operands are small and on a common scale.
     for c0 in range(0, num_coarse, 256):
-        onehot = ((cid - c0)[:, None] == lane256).astype(jnp.float32)  # [BS, 256]
+        onehot = ((cid - c0)[:, None] == lane256).astype(jnp.float32)  # [G·BS, 256]
         lut_c = coarse_lut_ref[:, c0:c0 + 256]  # [QB, 256] f32
         scores = scores + jax.lax.dot_general(
             lut_c, onehot,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (block_size, num_clusters), 1)
+    cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, num_clusters), 1)
     for m in range(m_sub):
         onehot = (codes_blk[:, m + 2][:, None] == cluster_ids).astype(jnp.bfloat16)
         lut_m = lut_ref[:, m, :].astype(jnp.bfloat16)
@@ -544,12 +569,17 @@ def _scan_kernel_residual_pq_adc(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    col = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1) + ic * block_size
     scores = scores + bias_ref[:]
-    _extract_block_topk(scores, col, kb, out_s_ref, out_i_ref)
+    base = icg * rows
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1)
+    for g in range(group):
+        sub = scores[:, g * block_size:(g + 1) * block_size]
+        _extract_block_topk(sub, col1 + base + g * block_size, kb,
+                            out_s_ref, out_i_ref, g=g)
 
 
-@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "repair"))
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "repair",
+                                   "group"))
 def pallas_topk_residual_pq_adc(
     rotation: jax.Array,  # [D, D] f32 (OPQ)
     coarse: jax.Array,  # [C, D] f32 coarse centroids (rotated space)
@@ -562,6 +592,7 @@ def pallas_topk_residual_pq_adc(
     query_block: int = 128,
     row_mask: jax.Array | None = None,
     repair: int = 256,
+    group: int = 0,  # blocks per grid step; 0 = auto
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused residual-PQ ADC scan: coarse term + residual ADC in one pass
     over the compressed corpus (M+2 bytes/vector of HBM traffic). Exact
@@ -587,7 +618,9 @@ def pallas_topk_residual_pq_adc(
     coarse_lut_p = _pad_rows(coarse_lut, qb)
     bp = lut.shape[0]
     nq = bp // qb
-    codes_p = _pad_rows(codes_ext, block_size)
+    group = group or _auto_group_adc(-(-n // block_size), block_size, qb,
+                                     m_sub + 2)
+    codes_p = _pad_rows(codes_ext, group * block_size)
     np_rows = codes_p.shape[0]
     nblocks = np_rows // block_size
     kb = (_default_kb_repair(k, nblocks, b_real, repair) if repair
@@ -600,18 +633,18 @@ def pallas_topk_residual_pq_adc(
     out_s, out_i = pl.pallas_call(
         partial(
             _scan_kernel_residual_pq_adc, kb=kb, block_size=block_size,
-            num_clusters=num_clusters, num_coarse=num_coarse,
+            num_clusters=num_clusters, num_coarse=num_coarse, group=group,
         ),
-        grid=(nq, nblocks),
+        grid=(nq, nblocks // group),
         in_specs=[
-            pl.BlockSpec((1, block_size), lambda iq, ic: (0, ic), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * block_size), lambda iq, ic: (0, ic), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, num_coarse), lambda iq, ic: (iq, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic: (iq, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_size, m_sub + 2), lambda iq, ic: (ic, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * block_size, m_sub + 2), lambda iq, ic: (ic, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.float32),
@@ -664,7 +697,8 @@ def pallas_topk_residual_pq_adc(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "repair"))
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "repair",
+                                   "group"))
 def pallas_topk_pq_adc(
     codebook_centroids: jax.Array,  # [M, K, Dsub] f32
     codes: jax.Array,  # [N, M] int32
@@ -675,6 +709,7 @@ def pallas_topk_pq_adc(
     query_block: int = 128,
     row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
     repair: int = 256,
+    group: int = 0,  # blocks per grid step; 0 = auto
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused PQ ADC scan (the BASELINE.json north-star kernel): per-query
     subspace LUTs on the MXU, blockwise score accumulation via one-hot
@@ -695,7 +730,8 @@ def pallas_topk_pq_adc(
     lut = _pad_rows(lut, qb)
     bp = lut.shape[0]
     nq = bp // qb
-    codes_p = _pad_rows(codes, block_size)  # stored dtype; kernel widens
+    group = group or _auto_group_adc(-(-n // block_size), block_size, qb, m_sub)
+    codes_p = _pad_rows(codes, group * block_size)  # stored dtype; kernel widens
     np_rows = codes_p.shape[0]
     nblocks = np_rows // block_size
     kb = (_default_kb_repair(k, nblocks, b_real, repair) if repair
@@ -706,16 +742,17 @@ def pallas_topk_pq_adc(
     bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
 
     out_s, out_i = pl.pallas_call(
-        partial(_scan_kernel_pq_adc, kb=kb, block_size=block_size, num_clusters=num_clusters),
-        grid=(nq, nblocks),
+        partial(_scan_kernel_pq_adc, kb=kb, block_size=block_size,
+                num_clusters=num_clusters, group=group),
+        grid=(nq, nblocks // group),
         in_specs=[
-            pl.BlockSpec((1, block_size), lambda iq, ic: (0, ic), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group * block_size), lambda iq, ic: (0, ic), memory_space=pltpu.VMEM),
             pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic: (iq, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_size, m_sub), lambda iq, ic: (ic, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group * block_size, m_sub), lambda iq, ic: (ic, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic: (iq, ic, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.float32),

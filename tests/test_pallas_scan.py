@@ -360,3 +360,59 @@ def test_grouped_grid_steps_exact():
                                rtol=1e-4, atol=1e-5)
     assert mask[np.asarray(i_)].all()
     assert _auto_group(2442, 4096 * 384) == 4  # the 10M x 384 serving shape
+
+
+def test_grouped_adc_kernels_exact():
+    """group>1 on the PQ-ADC kernels (round 4): identical ids/scores to the
+    group=1 form, plain and residual, with masks + non-divisible padding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crs_tpu.ops.pallas_scan import (
+        _auto_group_adc, pallas_topk_pq_adc, pallas_topk_residual_pq_adc,
+    )
+    from crs_tpu.ops.pq import (
+        pq_encode, residual_codes_ext, residual_pq_encode, train_pq,
+        train_residual_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, b, k = 4871, 64, 5, 8  # non-multiple of group*block_size
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    qs = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+    mask = jnp.asarray(rng.random(n) < 0.8)
+
+    cb = train_pq(jax.random.PRNGKey(0), jnp.asarray(vecs), 8, 64, 8)
+    codes = pq_encode(cb, jnp.asarray(vecs))
+    s1, i1 = pallas_topk_pq_adc(cb.centroids, codes, qs, k, n - 7,
+                                block_size=256, query_block=8, row_mask=mask,
+                                group=1)
+    for g in (2, 4):
+        sg, ig = pallas_topk_pq_adc(cb.centroids, codes, qs, k, n - 7,
+                                    block_size=256, query_block=8,
+                                    row_mask=mask, group=g)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(ig))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(sg),
+                                   rtol=1e-5, atol=1e-5)
+
+    rpq = train_residual_pq(jax.random.PRNGKey(1), jnp.asarray(vecs),
+                            coarse_clusters=256, num_subspaces=8,
+                            num_clusters=16, num_iters=3, opq_iters=1,
+                            coarse_iters=3)
+    cids, rcodes = residual_pq_encode(rpq, jnp.asarray(vecs))
+    ext = residual_codes_ext(cids, rcodes)
+    r1 = pallas_topk_residual_pq_adc(
+        rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext, qs, k, n - 7,
+        block_size=256, query_block=8, row_mask=mask, group=1)
+    for g in (2, 4):
+        rg = pallas_topk_residual_pq_adc(
+            rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext, qs, k,
+            n - 7, block_size=256, query_block=8, row_mask=mask, group=g)
+        np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(rg[1]))
+        np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(rg[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+    # the 4M x M=12 serving shape: score tile dominates, expect G=4
+    assert _auto_group_adc(1954, 2048, 128, 14) == 4

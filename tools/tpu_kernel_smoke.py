@@ -162,9 +162,46 @@ def main() -> int:
         assert all(len(set(r)) == 20 for r in i8), "duplicate ids (int8)"
         assert len(set(i8[0][:10]) & set(i[0][:10])) >= 8
 
+    def scan_grouped_adc():
+        """Round-4 forms: grouped grid steps on BOTH ADC kernels — checks
+        the Mosaic lowering of the [QB, G·BS] one-hot dots and the grouped
+        [1, G, kb, qb] output writes; numerics must match the group=1 form
+        that scan_pq/scan_residual_pq already verified against XLA."""
+        from crs_tpu.ops.pallas_scan import (
+            pallas_topk_pq_adc, pallas_topk_residual_pq_adc,
+        )
+        from crs_tpu.ops.pq import (
+            pq_encode, residual_codes_ext, residual_pq_encode, train_pq,
+            train_residual_pq,
+        )
+
+        v = jnp.asarray(rng.standard_normal((9000, 64)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+        cb = train_pq(jax.random.PRNGKey(2), v, 8, 64, 5)
+        codes = pq_encode(cb, v)
+        s1, i1 = pallas_topk_pq_adc(cb.centroids, codes, q, 8, 9000,
+                                    block_size=512, group=1)
+        s4, i4 = pallas_topk_pq_adc(cb.centroids, codes, q, 8, 9000,
+                                    block_size=512, group=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+        rpq = train_residual_pq(
+            jax.random.PRNGKey(3), v, coarse_clusters=256, num_subspaces=8,
+            num_clusters=16, num_iters=3, opq_iters=1, coarse_iters=3,
+        )
+        cids, rcodes = residual_pq_encode(rpq, v)
+        ext = residual_codes_ext(cids, rcodes)
+        r1 = pallas_topk_residual_pq_adc(
+            rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext, q, 8,
+            9000, block_size=512, group=1)
+        r4 = pallas_topk_residual_pq_adc(
+            rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext, q, 8,
+            9000, block_size=512, group=4)
+        np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r4[1]))
+
     for name, fn in (
         ("pallas_topk(fp32)", scan_fp32),
         ("grouped+repair", scan_grouped_repair),
+        ("grouped_adc", scan_grouped_adc),
         ("pallas_topk_int8", scan_int8),
         ("pallas_topk_pq_adc", scan_pq),
         ("pallas_topk_residual_pq_adc", scan_residual_pq),
