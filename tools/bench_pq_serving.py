@@ -30,6 +30,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+if "--cpu" in sys.argv:  # must land before any backend touch: the image's
+    # sitecustomize pins jax to the axon TPU tunnel, which HANGS when the
+    # tunnel is down — env vars alone cannot override it
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 CHUNK = 1_000_000
@@ -70,6 +76,11 @@ def main():
     ap.add_argument("--codes-cache", default=None,
                     help="npz path: save/load the encoded ext codes + rpq + "
                          "mirror so a rerun skips the ~minutes-per-10M encode")
+    ap.add_argument("--aniso-eta", default="0",
+                    help="aniso η for codebook training/encode; 0=isotropic, "
+                         "'auto'=ScaNN η(T=0.2, dim) — see ops/pq.py")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (smoke/shape runs)")
     args = ap.parse_args()
     n, d = args.rows, args.dim
     host_mirror = args.host_mirror
@@ -102,11 +113,20 @@ def main():
 
     m = args.subspaces
     cache = args.codes_cache
-    from crs_tpu.ops.pq import PQCodebook, ResidualPQ
+    from crs_tpu.ops.pq import PQCodebook, ResidualPQ, aniso_eta_from_threshold
+
+    if args.aniso_eta == "auto":
+        eta = aniso_eta_from_threshold(0.2, d)
+    else:
+        eta = float(args.aniso_eta)
+        eta = eta if eta > 1.0 else None
 
     if cache and Path(cache).exists():
         data = np.load(cache)
         assert int(data["rows"]) == n and int(data["m"]) == m, "cache mismatch"
+        cached_eta = float(data["aniso_eta"]) if "aniso_eta" in data else 0.0
+        assert cached_eta == (eta or 0.0), \
+            f"cache trained with aniso_eta={cached_eta}, asked {eta or 0.0}"
         rpq = ResidualPQ(rotation=jnp.asarray(data["rotation"]),
                          coarse=jnp.asarray(data["coarse"]),
                          codebook=PQCodebook(jnp.asarray(data["centroids"])))
@@ -121,10 +141,12 @@ def main():
         rpq = train_residual_pq(
             jax.random.PRNGKey(7), c0[:262_144], num_subspaces=args.subspaces,
             coarse_clusters=args.coarse, num_iters=12, opq_iters=2, coarse_iters=8,
+            aniso_eta=eta,
         )
-        print(f"trained rpq in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        print(f"trained rpq in {time.perf_counter()-t0:.1f}s "
+              f"(aniso_eta={eta})", file=sys.stderr)
 
-        enc = jax.jit(lambda x: residual_pq_encode(rpq, x))
+        enc = jax.jit(lambda x: residual_pq_encode(rpq, x, eta))
         ext_host = np.empty((n, m + 2), np.uint8)
         mirror = np.empty((n, d), np.int8) if host_mirror else None
         mirror_scales = np.empty((n,), np.float32) if host_mirror else None
@@ -154,6 +176,7 @@ def main():
             extra = ({"mirror": mirror, "mirror_scales": mirror_scales}
                      if host_mirror else {})
             np.savez(cache, rows=n, m=m, ext=ext_host,
+                     aniso_eta=eta or 0.0,
                      rotation=np.asarray(rpq.rotation),
                      coarse=np.asarray(rpq.coarse),
                      centroids=np.asarray(rpq.codebook.centroids), **extra)
