@@ -318,3 +318,44 @@ def test_sharded_store_inplace_add(mesh8, monkeypatch):
             # top-5 sets must agree
             for r in range(4):
                 assert set(i_i[r]) == set(i_f[r]), (i_i[r], i_f[r])
+
+
+def test_sharded_rpq_grouped_kernel_route(mesh8):
+    """Round 4: at per-shard sizes where _auto_group_adc picks G>1, the
+    grouped ADC form inside the shard_map body must still match the
+    single-device kernel exactly (grouping is a scheduling change only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.ops.pallas_scan import (
+        _auto_group_adc, pallas_topk_residual_pq_adc,
+    )
+    from crs_tpu.ops.pq import (
+        residual_codes_ext, residual_pq_encode, train_residual_pq,
+    )
+    from crs_tpu.parallel.sharded_index import (
+        shard_corpus, sharded_topk_residual_pq,
+    )
+
+    rng = np.random.default_rng(17)
+    n, bs = 8192, 64  # per-shard 1024 rows = 16 blocks -> auto group 2
+    assert _auto_group_adc(16, bs, 8, 10) > 1
+    vectors = _normalized(rng, n, 32)
+    queries = jnp.asarray(_normalized(rng, 4, 32))
+    rpq = train_residual_pq(
+        jax.random.PRNGKey(2), jnp.asarray(vectors), num_subspaces=8,
+        coarse_clusters=256, num_iters=5, opq_iters=1, coarse_iters=3,
+    )
+    cids, codes = residual_pq_encode(rpq, jnp.asarray(vectors))
+    ext = residual_codes_ext(cids, codes)
+    s_ref, i_ref = pallas_topk_residual_pq_adc(
+        rpq.rotation, rpq.coarse, rpq.codebook.centroids,
+        jnp.asarray(ext), queries, 8, n, bs,
+    )
+    ext_d, valid_n = shard_corpus(np.asarray(ext), mesh8)
+    s, i = sharded_topk_residual_pq(
+        rpq, ext_d, None, None, queries, 8, valid_n, mesh8,
+        rescore_k=8, block_size=bs,
+    )
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-4)

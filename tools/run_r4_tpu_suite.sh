@@ -54,6 +54,11 @@ run pq_curve_4m_aniso 7200 python -u tools/pq_recall_curve.py --rows 4000000 \
 
 # 6. PQ-only serving at 40M (codes cached for resume), then 100M
 run pq40m 9000 python -u tools/bench_pq_serving.py --rows 40000000 --codes-cache /tmp/pq40m_codes.npz
+
+# 6b. Same 40M serving point with the anisotropic codebooks (round 4):
+#     recall lift at identical 14 B/vec and scan cost.
+run pq40m_aniso 9000 python -u tools/bench_pq_serving.py --rows 40000000 \
+    --aniso-eta auto --codes-cache /tmp/pq40m_aniso_codes.npz
 run pq100m 9000 python -u tools/bench_pq_serving.py --rows 100000000 --no-host-mirror --codes-cache /tmp/pq100m_codes.npz
 
 # 7. Best-config recall check at 40M: reuse the 40M codes cache if the
