@@ -160,3 +160,38 @@ def test_visualizer_domain_layouts(tmp_path):
     assert len(perf) == 2  # panel + per-task grouped bars
     retr = v.plot_retrieval()
     assert len(retr) == 2  # panel + context-quality triplet
+
+
+def test_curve_report_tool(tmp_path, capsys):
+    """tools/curve_report.py: merges curve JSONs, finds per-budget winners,
+    and applies the VERDICT r3 #2 criterion."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import curve_report
+
+    rows = [
+        {"rows": 100, "m": 12, "coarse": 2048, "cand": 100, "aniso_eta": 0.0,
+         "opq_init": "identity", "bytes_per_vec": 14, "recall_none": 0.40,
+         "recall_in_cand": 0.85, "recall_host": 0.84, "ms_per_query": 0.5,
+         "scan_ms": 30, "engine": "xla", "device": "cpu"},
+        {"rows": 100, "m": 12, "coarse": 2048, "cand": 400, "aniso_eta": 16.0,
+         "opq_init": "identity", "bytes_per_vec": 14, "recall_none": 0.47,
+         "recall_in_cand": 0.99, "recall_host": 0.95, "ms_per_query": 0.9,
+         "scan_ms": 60, "engine": "xla", "device": "cpu"},
+        # old-format row without the round-4 fields must not crash
+        {"rows": 100, "m": 24, "coarse": 4096, "cand": 100,
+         "bytes_per_vec": 26, "recall_none": 0.6, "recall_in_cand": 0.9,
+         "recall_host": 0.97, "ms_per_query": 1.5, "scan_ms": 90,
+         "engine": "xla", "device": "cpu"},
+    ]
+    f = tmp_path / "curve.json"
+    f.write_text(json.dumps(rows))
+    sys.argv = ["curve_report", str(f), "--target", "0.9", "--budget", "16"]
+    assert curve_report.main() == 0
+    out = capsys.readouterr().out
+    assert "VERDICT criterion MET" in out
+    assert "14 B/vec: 0.9500" in out  # aniso row wins its budget
+    assert "26 B/vec: 0.9700" in out  # legacy row defaults applied
