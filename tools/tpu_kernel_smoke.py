@@ -198,10 +198,32 @@ def main() -> int:
             9000, block_size=512, group=4)
         np.testing.assert_array_equal(np.asarray(r1[1]), np.asarray(r4[1]))
 
+    def aniso_train():
+        """Round-4 aniso codebook training on chip: exercises the batched
+        per-codeword [D,D] linalg.solve and the direction-table einsums
+        (first on-silicon execution happens here, not in the long curve
+        steps — a lowering failure should cost seconds, not a suite slot)."""
+        from crs_tpu.ops.pq import (
+            pq_encode, residual_pq_encode, train_residual_pq,
+        )
+
+        v = jnp.asarray(rng.standard_normal((20000, 64)).astype(np.float32))
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        rpq = train_residual_pq(
+            jax.random.PRNGKey(5), v, coarse_clusters=256, num_subspaces=8,
+            num_clusters=64, num_iters=4, opq_iters=1, coarse_iters=3,
+            aniso_eta=8.0,
+        )
+        cids, codes = residual_pq_encode(rpq, v, jnp.float32(8.0))
+        jax.block_until_ready(codes)
+        assert np.isfinite(np.asarray(rpq.codebook.centroids)).all()
+        assert np.asarray(codes).max() < 64
+
     for name, fn in (
         ("pallas_topk(fp32)", scan_fp32),
         ("grouped+repair", scan_grouped_repair),
         ("grouped_adc", scan_grouped_adc),
+        ("aniso_train", aniso_train),
         ("pallas_topk_int8", scan_int8),
         ("pallas_topk_pq_adc", scan_pq),
         ("pallas_topk_residual_pq_adc", scan_residual_pq),
