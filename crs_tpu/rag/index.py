@@ -100,6 +100,11 @@ class VectorStore:
         self.pq_rescore = str(config.get("pq_rescore", "int8"))
         if self.pq_rescore not in ("int8", "host", "none"):
             raise ValueError(f"unknown pq_rescore mode: {self.pq_rescore}")
+        # Round 4: directory for a DISK-BACKED host mirror (np.memmap).
+        # pq_rescore="host" at 100M×384 needs a 38 GB mirror — beyond RAM;
+        # memmap serves it from the page cache (gathers fault in only the
+        # candidate rows). Empty/None = keep the mirror in RAM.
+        self.pq_host_mmap = config.get("pq_host_mmap") or None
         self.seed = int(config.get("seed", 0))
         # Optional device mesh: corpus rows shard across the mesh's corpus
         # axis and queries run the shard_map scan + allgather merge
@@ -134,6 +139,66 @@ class VectorStore:
         # typed metadata columns for vectorized `where` masks, built lazily
         # per key; entries self-invalidate when len(metadatas) changes
         self._md_cols: Dict[str, Tuple[np.ndarray, np.ndarray, int]] = {}
+
+    # -- host rescore mirror (RAM or disk-backed) ---------------------------
+    _MMAP_CODES = "mirror_codes.i8"
+    _MMAP_SCALES = "mirror_scales.f32"
+
+    def _mirror_alloc(self, rows: int, cols: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Allocate the pq_rescore="host" mirror: RAM by default; raw
+        np.memmap files under ``pq_host_mmap`` when set (mirrors beyond
+        RAM — 38 GB at 100M×384 — serve from the page cache)."""
+        if self.pq_host_mmap:
+            os.makedirs(self.pq_host_mmap, exist_ok=True)
+            c = np.memmap(os.path.join(self.pq_host_mmap, self._MMAP_CODES),
+                          np.int8, mode="w+", shape=(rows, cols))
+            s = np.memmap(os.path.join(self.pq_host_mmap, self._MMAP_SCALES),
+                          np.float32, mode="w+", shape=(rows,))
+            return c, s
+        return np.zeros((rows, cols), np.int8), np.zeros((rows,), np.float32)
+
+    def _mirror_set(self, codes: np.ndarray, scales: np.ndarray) -> None:
+        """Install a freshly computed mirror (create_index paths)."""
+        self._codes_host, self._scales_host = self._mirror_alloc(
+            codes.shape[0], codes.shape[1])
+        self._codes_host[:] = codes
+        self._scales_host[:] = scales
+
+    def _mirror_grow(self, new_rows: int) -> None:
+        """Grow the mirror to ``new_rows`` (zero-padded). RAM: concatenate.
+        memmap: chunk-copy into new raw files, then atomically replace —
+        np.memmap cannot resize in place."""
+        old_c, old_s = self._codes_host, self._scales_host
+        if old_c.shape[0] >= new_rows:
+            return
+        cols = old_c.shape[1]
+        if self.pq_host_mmap:
+            cpath = os.path.join(self.pq_host_mmap, self._MMAP_CODES)
+            spath = os.path.join(self.pq_host_mmap, self._MMAP_SCALES)
+            nc = np.memmap(cpath + ".grow", np.int8, mode="w+",
+                           shape=(new_rows, cols))
+            ns = np.memmap(spath + ".grow", np.float32, mode="w+",
+                           shape=(new_rows,))
+            step = 1 << 20  # 1M rows per copy chunk — bounded RAM
+            for lo in range(0, old_c.shape[0], step):
+                hi = min(lo + step, old_c.shape[0])
+                nc[lo:hi] = old_c[lo:hi]
+                ns[lo:hi] = old_s[lo:hi]
+            nc.flush(); ns.flush()
+            del old_c, old_s  # release the mapping before replacing files
+            self._codes_host = self._scales_host = None
+            os.replace(cpath + ".grow", cpath)
+            os.replace(spath + ".grow", spath)
+            self._codes_host = np.memmap(cpath, np.int8, mode="r+",
+                                         shape=(new_rows, cols))
+            self._scales_host = np.memmap(spath, np.float32, mode="r+",
+                                          shape=(new_rows,))
+        else:
+            pad = new_rows - old_c.shape[0]
+            self._codes_host = np.concatenate(
+                [old_c, np.zeros((pad, cols), np.int8)])
+            self._scales_host = np.concatenate(
+                [old_s, np.zeros((pad,), np.float32)])
 
     def _aniso_eta(self) -> Optional[float]:
         """Resolve pq_aniso_eta config → η for ops/pq.py (None = isotropic)."""
@@ -209,8 +274,7 @@ class VectorStore:
                     scales = np.maximum(amax, 1e-12) / 127.0
                     codes = np.clip(np.round(arr / scales[:, None]), -127, 127).astype(np.int8)
                     if self.pq_rescore == "host":
-                        self._codes_host = codes
-                        self._scales_host = scales.astype(np.float32)
+                        self._mirror_set(codes, scales.astype(np.float32))
                     else:
                         self._codes, _ = shard_corpus(codes, self.mesh)
                         self._scales, _ = shard_corpus(scales.astype(np.float32), self.mesh)
@@ -284,10 +348,10 @@ class VectorStore:
                 arr = padded.astype(np.float32)
                 amax = np.max(np.abs(arr), axis=-1)
                 s_np = np.maximum(amax, 1e-12) / 127.0
-                self._codes_host = np.clip(
-                    np.round(arr / s_np[:, None]), -127, 127
-                ).astype(np.int8)
-                self._scales_host = s_np.astype(np.float32)
+                self._mirror_set(
+                    np.clip(np.round(arr / s_np[:, None]), -127, 127
+                            ).astype(np.int8),
+                    s_np.astype(np.float32))
             self._pq_trained_n = self.n  # drift baseline for incremental add
 
     # -- query -------------------------------------------------------------
@@ -708,15 +772,7 @@ class VectorStore:
                 # length — _grow keys off _padded_rows() (device shape) and
                 # may legitimately not fire here
                 end = self.n + c_np.shape[0]
-                if self._codes_host.shape[0] < end:
-                    pad = end - self._codes_host.shape[0]
-                    self._codes_host = np.concatenate(
-                        [self._codes_host,
-                         np.zeros((pad, self._codes_host.shape[1]), np.int8)]
-                    )
-                    self._scales_host = np.concatenate(
-                        [self._scales_host, np.zeros((pad,), np.float32)]
-                    )
+                self._mirror_grow(end)
                 self._codes_host[self.n:end] = c_np
                 self._scales_host[self.n:end] = s_np
         self.n = new_n
@@ -760,15 +816,7 @@ class VectorStore:
         self._pq_codes = grown(self._pq_codes)
         self._pq_coarse_ids = grown(self._pq_coarse_ids)
         if self._codes_host is not None:
-            pad = cap - self._codes_host.shape[0]
-            if pad > 0:
-                self._codes_host = np.concatenate(
-                    [self._codes_host,
-                     np.zeros((pad, self._codes_host.shape[1]), np.int8)]
-                )
-                self._scales_host = np.concatenate(
-                    [self._scales_host, np.zeros((pad,), np.float32)]
-                )
+            self._mirror_grow(cap)
 
     def search(
         self,
@@ -852,6 +900,10 @@ class VectorStore:
             stats["host_mirror_bytes"] = int(
                 self._codes_host.nbytes + self._scales_host.nbytes
             )
+            # disk-backed mirror: the bytes above live in the page cache /
+            # on disk, not resident RAM
+            stats["host_mirror_mmap"] = bool(isinstance(
+                self._codes_host, np.memmap))
         return stats
 
     def memory_bytes(self) -> int:
@@ -883,9 +935,21 @@ class VectorStore:
         if self._rpq is not None:
             arrays["pq_rotation"] = np.asarray(self._rpq.rotation)
             arrays["pq_coarse"] = np.asarray(self._rpq.coarse)
+        mmap_meta = None
         if self._codes_host is not None:
-            arrays["codes_host"] = self._codes_host
-            arrays["scales_host"] = self._scales_host
+            if self.pq_host_mmap:
+                # the raw files ARE the persisted mirror — flush, reference
+                # by path; a 38 GB mirror must not round-trip through npz
+                self._codes_host.flush()
+                self._scales_host.flush()
+                mmap_meta = {
+                    "dir": os.path.abspath(self.pq_host_mmap),
+                    "rows": int(self._codes_host.shape[0]),
+                    "cols": int(self._codes_host.shape[1]),
+                }
+            else:
+                arrays["codes_host"] = self._codes_host
+                arrays["scales_host"] = self._scales_host
         np.savez_compressed(os.path.join(directory, "index_arrays.npz"), **arrays)
         meta = {
             "n": self.n,
@@ -898,6 +962,8 @@ class VectorStore:
             "documents": self.documents,
             "metadatas": self.metadatas,
         }
+        if mmap_meta:
+            meta["host_mirror_mmap"] = mmap_meta
         with open(os.path.join(directory, "index_meta.json"), "w") as f:
             json.dump(meta, f)
         logger.info("Saved index (%d vectors) to %s", self.n, directory)
@@ -926,6 +992,15 @@ class VectorStore:
         if "codes_host" in arrays:
             self._codes_host = arrays["codes_host"].astype(np.int8)
             self._scales_host = arrays["scales_host"].astype(np.float32)
+        elif meta.get("host_mirror_mmap"):
+            mm = meta["host_mirror_mmap"]
+            self.pq_host_mmap = mm["dir"]
+            self._codes_host = np.memmap(
+                os.path.join(mm["dir"], self._MMAP_CODES), np.int8,
+                mode="r+", shape=(mm["rows"], mm["cols"]))
+            self._scales_host = np.memmap(
+                os.path.join(mm["dir"], self._MMAP_SCALES), np.float32,
+                mode="r+", shape=(mm["rows"],))
         if self.mesh is not None:
             # re-shard loaded arrays across the mesh
             from ..parallel.sharded_index import shard_corpus

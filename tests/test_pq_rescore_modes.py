@@ -221,3 +221,52 @@ def test_sharded_host_mode_inplace_add_small_block(mesh8):
     assert store._codes_host.shape[0] >= 132
     s, i = store.search_batch(emb[128:132], top_k=3)
     assert (np.asarray(i)[:, 0] == np.arange(128, 132)).all()
+
+
+def test_host_mode_mmap_mirror(tmp_path):
+    """Round 4: pq_host_mmap puts the rescore mirror in raw disk-backed
+    memmap files (100M-row mirrors exceed RAM). Results must be identical
+    to the RAM mirror; add() writes through; save/load reopens the maps."""
+    import os
+
+    v = _mk(600, seed=5)
+    q = v[:6] + 0.01 * _mk(6, seed=6)
+
+    ram = _pq_store("host")
+    ram.create_index([f"d{i}" for i in range(500)], v[:500])
+    s_ram, i_ram = ram.search_batch(q, top_k=5)
+
+    mdir = tmp_path / "mirror"
+    mm = _pq_store("host", pq_host_mmap=str(mdir))
+    mm.create_index([f"d{i}" for i in range(500)], v[:500])
+    assert isinstance(mm._codes_host, np.memmap)
+    assert os.path.exists(mdir / "mirror_codes.i8")
+    s_mm, i_mm = mm.search_batch(q, top_k=5)
+    np.testing.assert_array_equal(np.asarray(i_ram), np.asarray(i_mm))
+    np.testing.assert_allclose(np.asarray(s_ram), np.asarray(s_mm),
+                               rtol=1e-5, atol=1e-6)
+    assert mm.get_stats()["host_mirror_mmap"] is True
+
+    # in-place add writes through the map (and grows it via file replace)
+    mm.add([f"d{i}" for i in range(500, 600)], v[500:600])
+    ram.add([f"d{i}" for i in range(500, 600)], v[500:600])
+    s2_mm, i2_mm = mm.search_batch(v[560:566], top_k=1)
+    assert (np.asarray(i2_mm)[:, 0] == np.arange(560, 566)).mean() >= 0.8
+
+    # save references the raw files instead of embedding 38GB-class npz
+    sdir = tmp_path / "index"
+    mm.save(str(sdir))
+    import json
+    meta = json.load(open(sdir / "index_meta.json"))
+    assert "host_mirror_mmap" in meta
+    import numpy as _np
+    arrays = _np.load(sdir / "index_arrays.npz")
+    assert "codes_host" not in arrays
+
+    from crs_tpu.rag.index import VectorStore
+    mm2 = VectorStore({"format": "pq"})
+    mm2.load(str(sdir))
+    assert isinstance(mm2._codes_host, np.memmap)
+    s3, i3 = mm2.search_batch(q, top_k=5)
+    s3b, i3b = mm.search_batch(q, top_k=5)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i3b))

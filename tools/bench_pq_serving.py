@@ -81,6 +81,11 @@ def main():
                          "'auto'=ScaNN η(T=0.2, dim) — see ops/pq.py")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (smoke/shape runs)")
+    ap.add_argument("--mirror-mmap", default=None,
+                    help="back the host rescore mirror with raw memmap "
+                         "files at this path prefix (enables host-rescored "
+                         "serving at 100M rows: a 38 GB mirror exceeds RAM "
+                         "but pages fine from disk)")
     args = ap.parse_args()
     n, d = args.rows, args.dim
     host_mirror = args.host_mirror
@@ -134,6 +139,37 @@ def main():
         mirror = data["mirror"] if "mirror" in data and host_mirror else None
         mirror_scales = (data["mirror_scales"]
                          if "mirror_scales" in data and host_mirror else None)
+        if mirror is None and host_mirror and args.mirror_mmap:
+            if Path(args.mirror_mmap + ".codes.i8").exists():
+                # memmapped mirror persists as raw files beside the npz cache
+                mirror = np.memmap(args.mirror_mmap + ".codes.i8", np.int8,
+                                   mode="r", shape=(n, d))
+                mirror_scales = np.memmap(args.mirror_mmap + ".scales.f32",
+                                          np.float32, mode="r", shape=(n,))
+            else:
+                # cache predates the mirror (e.g. a --no-host-mirror run):
+                # backfill the memmap by regenerating + quantizing chunks —
+                # encode is skipped, this is the cheap half
+                mirror = np.memmap(args.mirror_mmap + ".codes.i8", np.int8,
+                                   mode="w+", shape=(n, d))
+                mirror_scales = np.memmap(args.mirror_mmap + ".scales.f32",
+                                          np.float32, mode="w+", shape=(n,))
+
+                @jax.jit
+                def _quant(x):
+                    amax = jnp.max(jnp.abs(x), axis=-1)
+                    s = jnp.maximum(amax, 1e-12) / 127.0
+                    return (jnp.clip(jnp.round(x / s[:, None]), -127, 127)
+                            .astype(jnp.int8), s)
+
+                t0 = time.perf_counter()
+                for ci in range(nchunks):
+                    qc, qs = _quant(gen(chunk_keys[ci]))
+                    mirror[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qc)
+                    mirror_scales[ci * CHUNK:(ci + 1) * CHUNK] = np.asarray(qs)
+                mirror.flush(); mirror_scales.flush()
+                print(f"backfilled memmap mirror in "
+                      f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
         host_mirror = mirror is not None
         print(f"loaded codes cache {cache}", file=sys.stderr)
     else:
@@ -148,8 +184,14 @@ def main():
 
         enc = jax.jit(lambda x: residual_pq_encode(rpq, x, eta))
         ext_host = np.empty((n, m + 2), np.uint8)
-        mirror = np.empty((n, d), np.int8) if host_mirror else None
-        mirror_scales = np.empty((n,), np.float32) if host_mirror else None
+        if host_mirror and args.mirror_mmap:
+            mirror = np.memmap(args.mirror_mmap + ".codes.i8", np.int8,
+                               mode="w+", shape=(n, d))
+            mirror_scales = np.memmap(args.mirror_mmap + ".scales.f32",
+                                      np.float32, mode="w+", shape=(n,))
+        else:
+            mirror = np.empty((n, d), np.int8) if host_mirror else None
+            mirror_scales = np.empty((n,), np.float32) if host_mirror else None
 
         @jax.jit
         def quant(x):
@@ -173,8 +215,10 @@ def main():
                       f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
         print(f"encode total {time.perf_counter()-t0:.1f}s", file=sys.stderr)
         if cache:
+            # a memmapped mirror is its own cache (raw files persist);
+            # embedding 38 GB into the npz would defeat it
             extra = ({"mirror": mirror, "mirror_scales": mirror_scales}
-                     if host_mirror else {})
+                     if host_mirror and not args.mirror_mmap else {})
             np.savez(cache, rows=n, m=m, ext=ext_host,
                      aniso_eta=eta or 0.0,
                      rotation=np.asarray(rpq.rotation),

@@ -61,6 +61,12 @@ run pq40m_aniso 9000 python -u tools/bench_pq_serving.py --rows 40000000 \
     --aniso-eta auto --codes-cache /tmp/pq40m_aniso_codes.npz
 run pq100m 9000 python -u tools/bench_pq_serving.py --rows 100000000 --no-host-mirror --codes-cache /tmp/pq100m_codes.npz
 
+# 6c. 100M WITH host rescore via the round-4 disk-backed memmap mirror
+#     (38 GB pages from disk; RAM never holds it).
+run pq100m_host 10800 python -u tools/bench_pq_serving.py --rows 100000000 \
+    --host-mirror --mirror-mmap /tmp/pq100m_mirror \
+    --codes-cache /tmp/pq100m_codes.npz
+
 # 7. Best-config recall check at 40M: reuse the 40M codes cache if the
 #    winning (M, coarse) matches; otherwise this trains its own.
 run pq_curve_40m 14400 python -u tools/pq_recall_curve.py --rows 40000000 \
