@@ -35,13 +35,18 @@ Round-4 addition (VERDICT r3 #2 — recall at fixed bytes/vec):
   ⟨e, x̂⟩² (x̂ sliced, not re-normalized, so per-subspace weights inherit
   the direction's energy split). ADC scoring is UNCHANGED — the codebooks
   just place codewords to preserve inner products better.
-- **Eigenvalue-allocation OPQ init** (``opq_init="eigen"``): the parametric
-  OPQ-P solution of Ge et al. ("Optimized Product Quantization", CVPR 2013)
-  — rotate onto the PCA basis, then greedily permute components so every
-  subspace gets (approximately) the same eigenvalue *product*, i.e. equal
-  information. On correlated-dim corpora the alternating OPQ refinement
-  starts near its optimum instead of a random/identity basis it has to
-  escape in few iterations. Host work: one d×d ``eigh``.
+Round-4 MEASURED NEGATIVE (recorded, code removed — like round 3's seg2):
+eigenvalue-allocation OPQ init (OPQ-P, Ge et al. CVPR 2013) LOSES on this
+framework's MIPS-retrieval objective in every regime tested — residual
+codebooks at 1M×384: recall@10-in-100 0.297 vs 0.841 identity-init;
+plain OPQ on raw vectors, 8k×384: 0.900 vs 0.969 random-init
+(results/pq_recall/curve_cpu_1m_eigen.json). Balancing per-subspace
+eigenvalue PRODUCTS optimizes reconstruction MSE, but on clustered
+corpora with fast-decaying spectra it concentrates the cluster-
+discriminative energy into few subspaces — the noise-only subspaces
+contribute nothing to ADC *ranking*, shrinking the effective code. A
+random/identity init spreads discriminative energy across all codebooks
+and the Procrustes alternation refines from there.
 
 Everything is matmul-shaped for the MXU; the only host work is the 384²
 SVD in the Procrustes step.
@@ -62,7 +67,6 @@ __all__ = [
     "residual_codes_ext",
     "residual_pq_adc_topk",
     "aniso_eta_from_threshold",
-    "eigen_alloc_rotation",
 ]
 
 NEG_INF = jnp.float32(-1e30)
@@ -290,33 +294,6 @@ def _pq_reconstruct(codebook: PQCodebook, codes: jax.Array) -> jax.Array:
     return jnp.concatenate(parts, axis=1)
 
 
-def eigen_alloc_rotation(vectors: np.ndarray, num_subspaces: int) -> np.ndarray:
-    """OPQ-P init (Ge et al. 2013, §4.1): PCA rotation with the principal
-    components permuted so each subspace's eigenvalue PRODUCT is balanced
-    (greedy: largest eigenvalue → the open bucket with the smallest running
-    log-product). Equalizing information across subspaces is the parametric
-    optimum for Gaussian data; used as the starting point for the
-    alternating refinement. Returns an orthogonal [D, D] matrix applied as
-    ``x @ R`` (subspace s owns columns s·dsub : (s+1)·dsub)."""
-    x = np.asarray(vectors, np.float64)
-    n, d = x.shape
-    assert d % num_subspaces == 0
-    dsub = d // num_subspaces
-    cov = (x.T @ x) / max(n, 1)
-    w, v = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(-w)
-    w, v = w[order], v[:, order]
-    buckets: list[list[int]] = [[] for _ in range(num_subspaces)]
-    logp = np.zeros(num_subspaces)
-    for i in range(d):
-        open_b = [b for b in range(num_subspaces) if len(buckets[b]) < dsub]
-        b = min(open_b, key=lambda bb: logp[bb])
-        buckets[b].append(i)
-        logp[b] += np.log(max(w[i], 1e-12))
-    perm = [i for bucket in buckets for i in bucket]
-    return v[:, perm].astype(np.float32)
-
-
 def train_opq(
     key: jax.Array,
     vectors: jax.Array,  # [N, D] f32
@@ -327,7 +304,6 @@ def train_opq(
     init_rotation: Optional[np.ndarray] = None,
     dirs: Optional[jax.Array] = None,  # [N, D] unit datapoint directions
     aniso_eta: Optional[float] = None,
-    init: str = "random",  # "random" | "eigen" (ignored if init_rotation set)
 ) -> Tuple[jax.Array, PQCodebook]:
     """Learn (rotation, codebooks) by alternating PQ training and the
     orthogonal-Procrustes solve R = UVᵀ of SVD(Xᵀ·recon).
@@ -338,8 +314,6 @@ def train_opq(
     d = vectors.shape[1]
     if init_rotation is not None:
         r = jnp.asarray(init_rotation, jnp.float32)
-    elif init == "eigen":
-        r = jnp.asarray(eigen_alloc_rotation(np.asarray(vectors), num_subspaces))
     else:
         rng = np.random.default_rng(0)
         r_np, _ = np.linalg.qr(rng.standard_normal((d, d)).astype(np.float64))
@@ -380,7 +354,6 @@ def train_residual_pq(
     opq_iters: int = 4,
     coarse_iters: int = 10,
     aniso_eta: Optional[float] = None,
-    opq_init: str = "identity",  # "identity" | "eigen"
 ) -> ResidualPQ:
     """IVF-style residual PQ with an OPQ rotation learned on the residuals.
 
@@ -412,15 +385,9 @@ def train_residual_pq(
         # residual: score error is ⟨q, r − r̃⟩ and q concentrates near x̂
         dirs = xr / jnp.maximum(
             jnp.linalg.norm(xr, axis=1, keepdims=True), 1e-12)
-    if opq_init == "eigen":
-        # eigenvalue-allocation init on the RESIDUAL covariance (the space
-        # the codebooks quantize) — identity stays the conservative default
-        init_r = eigen_alloc_rotation(np.asarray(residuals), num_subspaces)
-    else:
-        init_r = np.eye(d, dtype=np.float32)
     r1, cb = train_opq(
         k2, residuals, num_subspaces, num_clusters, num_iters, opq_iters,
-        init_rotation=init_r,
+        init_rotation=np.eye(d, dtype=np.float32),
         dirs=dirs, aniso_eta=aniso_eta,
     )
     rotation = jnp.dot(r0, r1, preferred_element_type=jnp.float32)

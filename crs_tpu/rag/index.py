@@ -79,9 +79,6 @@ class VectorStore:
         self.pq_iters = int(config.get("pq_iters", 25))
         self.pq_coarse_clusters = config.get("pq_coarse_clusters", "auto")
         self.pq_opq_iters = int(config.get("pq_opq_iters", 4))
-        # "identity" | "eigen": OPQ-P eigenvalue-allocation init on the
-        # residual covariance (Ge et al. 2013) — see ops/pq.py
-        self.pq_opq_init = str(config.get("pq_opq_init", "identity"))
         # Round 4 (VERDICT r3 #2): anisotropic score-aware quantization loss
         # (ScaNN, Guo et al. 2020) — η > 1 weights quantization error
         # parallel to each datapoint's direction, lifting recall at fixed
@@ -260,7 +257,7 @@ class VectorStore:
                 self._rpq = train_residual_pq(
                     jax.random.PRNGKey(self.seed), vecs, m, self.pq_clusters,
                     int(coarse), self.pq_iters, self.pq_opq_iters,
-                    aniso_eta=self._aniso_eta(), opq_init=self.pq_opq_init,
+                    aniso_eta=self._aniso_eta(),
                 )
                 self._pq_codebook = self._rpq.codebook
                 cids, codes_pq = residual_pq_encode(
@@ -318,7 +315,7 @@ class VectorStore:
                 self._rpq = train_residual_pq(
                     key, valid, m, self.pq_clusters, int(coarse),
                     self.pq_iters, self.pq_opq_iters,
-                    aniso_eta=self._aniso_eta(), opq_init=self.pq_opq_init,
+                    aniso_eta=self._aniso_eta(),
                 )
                 self._pq_coarse_ids, self._pq_codes = residual_pq_encode(
                     self._rpq, vecs, self._aniso_eta())

@@ -47,10 +47,6 @@ def main():
     ap.add_argument("--etas", default="0",
                     help="aniso η values (comma list); 0=isotropic, "
                          "'auto'=ScaNN η(T=0.2, dim) — see ops/pq.py")
-    ap.add_argument("--opq-init", default="identity",
-                    choices=("identity", "eigen"),
-                    help="OPQ init on the residuals (eigen = OPQ-P "
-                         "eigenvalue allocation, Ge et al. 2013)")
     ap.add_argument("--engine", default="pallas", choices=("pallas", "xla"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--block-size", type=int, default=2048)
@@ -167,8 +163,6 @@ def main():
     ):
         eta = parse_eta(eta_s)
         etag = "" if eta is None else f"_a{eta:.3g}"
-        if args.opq_init != "identity":
-            etag += f"_i{args.opq_init}"
         cpath = Path(args.cache_dir) / f"codes_{n}_m{m}_c{coarse}{etag}.npz"
         if cpath.exists():
             data = np.load(cpath)
@@ -182,7 +176,7 @@ def main():
                 jax.random.PRNGKey(7), c0[: min(262_144, chunk)],
                 num_subspaces=m, coarse_clusters=coarse,
                 num_iters=12, opq_iters=2, coarse_iters=8,
-                aniso_eta=eta, opq_init=args.opq_init,
+                aniso_eta=eta,
             )
             enc = jax.jit(lambda x: residual_pq_encode(rpq, x, eta))
             ext_host = np.empty((n, m + 2), np.uint8)
@@ -235,7 +229,6 @@ def main():
             row = {
                 "rows": n, "m": m, "coarse": coarse, "cand": cand,
                 "aniso_eta": 0.0 if eta is None else round(float(eta), 3),
-                "opq_init": args.opq_init,
                 "bytes_per_vec": m + 2,
                 "recall_none": round(recall(adc_i_np, args.k), 4),
                 "recall_in_cand": round(recall(adc_i_np, cand), 4),
