@@ -47,18 +47,26 @@ def _backend_available() -> bool:
     """Probe the device backend in a SUBPROCESS with a hard timeout: the
     round-3 axon outage mode was a hang (tunnel accepts nothing, trivial
     matmuls never return), which no in-process try/except can bound."""
-    timeout_s = float(os.environ.get("CRS_TPU_BENCH_PROBE_TIMEOUT", "120"))
+    # 120s proved too tight in practice: axon init + first trivial compile
+    # alone measured 54-94s on a loaded 1-core host (r4 suite logs), and the
+    # tunnel serializes clients, so a concurrent bench can delay the probe by
+    # minutes. The outage mode this guards against is an INDEFINITE hang, so
+    # a generous timeout cannot false-negative a real outage.
+    timeout_s = float(os.environ.get("CRS_TPU_BENCH_PROBE_TIMEOUT", "420"))
     code = (
         "import jax, jax.numpy as jnp; "
         "assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0"
     )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
-        )
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    for _ in range(2):  # one retry: init-time blips are transient
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
+            )
+            if r.returncode == 0:
+                return True
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+    return False
 
 
 def main() -> None:

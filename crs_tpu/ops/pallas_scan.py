@@ -191,6 +191,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pin_hbm(out_s, out_i):
+    """Keep the [nq, nblocks, kb, qb] per-block partials OUT of scoped VMEM.
+
+    When a scan kernel runs inside a loop (lax.fori_loop/scan — e.g. the
+    in-jit repetition benches, or any composed serving program), XLA's
+    memory-space-assignment may promote the custom-call outputs into the
+    16 MB scoped-VMEM stack; at 10M rows the partials are 10-20 MB and the
+    COMPILE fails (measured on v5e, r4 suite: kb=8/B=64 17.4M, kb=3/B=256
+    21.4M over the limit). An optimization_barrier makes the buffers
+    MSA-opaque so they stay in HBM — zero runtime cost on the normal path
+    (the very next op is a global transpose+top_k that reads them once).
+    """
+    return jax.lax.optimization_barrier((out_s, out_i))
+
+
 def _flat_pool(out, b_real):
     """[nq, nblocks, kb, qb] partials → [B, nblocks·kb] merge pool (entry
     e belongs to block e // kb)."""
@@ -383,6 +398,7 @@ def pallas_topk(
         ),
         interpret=_interpret(),
     )(bias, q, vecs)
+    out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
     if k <= kb:
         return top_s, top_i  # exact by construction
@@ -652,6 +668,7 @@ def pallas_topk_residual_pq_adc(
         ),
         interpret=_interpret(),
     )(bias, coarse_lut_p, lut, codes_p)
+    out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
     if k <= kb:
         return top_s, top_i
@@ -760,6 +777,7 @@ def pallas_topk_pq_adc(
         ),
         interpret=_interpret(),
     )(bias, lut, codes_p)
+    out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
     if k <= kb:
         return top_s, top_i  # exact (w.r.t. ADC scores) by construction
@@ -846,6 +864,7 @@ def pallas_topk_segmax(
         ),
         interpret=_interpret(),
     )(valid, q, vecs)
+    out_s, out_i = _pin_hbm(out_s, out_i)
     return _finalize(out_s, out_i, b_real, k)
 
 
@@ -896,6 +915,7 @@ def pallas_topk_segmax_int8(
         ),
         interpret=_interpret(),
     )(valid, q_codes, qs, vecs, vs)
+    out_s, out_i = _pin_hbm(out_s, out_i)
     return _finalize(out_s, out_i, b_real, k)
 
 
@@ -971,6 +991,7 @@ def pallas_topk_int8(
         ),
         interpret=_interpret(),
     )(bias, q_codes, vecs, vs)
+    out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
     # restore int8_topk score semantics (qs > 0: ranking unchanged)
     top_s = top_s * q_scales[:, None]
