@@ -57,14 +57,28 @@ def _backend_available() -> bool:
         "import jax, jax.numpy as jnp; "
         "assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0"
     )
-    for _ in range(2):  # one retry: init-time blips are transient
+    # Test hook: an outage must be SIMULATABLE regardless of live tunnel
+    # state (VERDICT r4 weak #2 — the axon sitecustomize overrides
+    # JAX_PLATFORMS, so "bogus platform" tests pass only when the tunnel is
+    # down). CRS_TPU_BENCH_PROBE_CMD replaces the probe subprocess wholesale.
+    override = os.environ.get("CRS_TPU_BENCH_PROBE_CMD")
+    if override:
+        import shlex
+
+        cmd = shlex.split(override)
+    else:
+        cmd = [sys.executable, "-c", code]
+    for attempt in range(2):  # one retry: init-time blips are transient
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", code], timeout=timeout_s, capture_output=True
-            )
+            r = subprocess.run(cmd, timeout=timeout_s, capture_output=True)
             if r.returncode == 0:
                 return True
-        except (subprocess.TimeoutExpired, OSError):
+        except subprocess.TimeoutExpired:
+            # The guarded failure mode is an INDEFINITE hang — a retry after
+            # a full timeout just doubles outage-detection latency with no
+            # chance of success (ADVICE r4).
+            return False
+        except OSError:
             pass
     return False
 
