@@ -34,12 +34,16 @@ class QuantizedTensor:
     int8: ``codes`` [in, out] int8, ``scales`` [out] — per output channel.
     int4: ``codes`` [in/2, out] int8 (two nibbles packed per byte along the
     input dim), ``scales`` [in/group_size, out] — group-wise.
+    nf4 (``bits="nf4"``): ``codes`` [in/2, out] uint8 — two UNSIGNED nibble
+    indices into the 16-entry NF4 codebook (``ops.qgemm.NF4_LEVELS``) —
+    with group-wise absmax ``scales``; the true-nonuniform equivalent of the
+    reference's bitsandbytes NF4 column (``models/huggingface_model.py:59``).
     ``bits``/``group_size``/``shape`` are static pytree aux data.
     """
 
     codes: jax.Array
     scales: jax.Array
-    bits: int
+    bits: int | str
     group_size: int
     shape: Tuple[int, int]
 
@@ -68,9 +72,18 @@ class QuantizedTensor:
         kin, kout = self.shape
         if self.bits == 8:
             return self.codes.astype(jnp.float32) * self.scales[None, :]
-        vals = (
-            self.unpack_codes() if self.bits == 4 else self.codes
-        ).astype(jnp.float32)
+        if self.bits == "nf4":
+            from ..ops.qgemm import NF4_LEVELS
+
+            p32 = self.codes.astype(jnp.int32)
+            lut = jnp.asarray(NF4_LEVELS)
+            lo = jnp.take(lut, p32 & 0xF)
+            hi = jnp.take(lut, jnp.right_shift(p32, 4) & 0xF)
+            vals = jnp.stack([lo, hi], axis=1).reshape(kin, kout)
+        else:
+            vals = (
+                self.unpack_codes() if self.bits == 4 else self.codes
+            ).astype(jnp.float32)
         g = self.scales.shape[0]
         grouped = vals.reshape(g, kin // g, kout)
         return (grouped * self.scales[:, None, :]).reshape(kin, kout)
@@ -110,6 +123,30 @@ def quantize_tensor(w, bits: int = 8, group_size: int = 128) -> QuantizedTensor:
         packed = (lo.astype(np.int16) | hi).astype(np.int8)
         return QuantizedTensor(
             jnp.asarray(packed), jnp.asarray(scales.astype(np.float32)), 4, group_size, (kin, kout)
+        )
+    if bits == "nf4":
+        # nonuniform 4-bit: per-group absmax normalization to [-1, 1], then
+        # nearest-of-16 NF4 levels (QLoRA); indices packed two per byte like
+        # int4 so the Pallas decode kernel shares the even/odd-plane layout
+        from ..ops.qgemm import NF4_LEVELS
+
+        if kin % group_size != 0 or kin % 2 != 0:
+            group_size = kin if kin % 2 == 0 else 0
+        if group_size == 0:
+            raise ValueError("nf4 requires an even input dim")
+        g = kin // group_size
+        grouped = w.reshape(g, group_size, kout)
+        amax = np.max(np.abs(grouped), axis=1)
+        scales = np.maximum(amax, 1e-12)
+        norm = grouped / scales[:, None, :]  # in [-1, 1]
+        mids = (NF4_LEVELS[1:] + NF4_LEVELS[:-1]) / 2.0
+        idx = np.searchsorted(mids, norm).astype(np.uint8)  # nearest level
+        idx = idx.reshape(kin, kout)
+        pairs = idx.reshape(kin // 2, 2, kout)
+        packed = (pairs[:, 0, :] | np.left_shift(pairs[:, 1, :], 4)).astype(np.uint8)
+        return QuantizedTensor(
+            jnp.asarray(packed), jnp.asarray(scales.astype(np.float32)),
+            "nf4", group_size, (kin, kout),
         )
     if bits in (2, 3):
         # extreme low-bit group-wise symmetric (reference HQQ nbits ∈ {2,3},
@@ -197,15 +234,17 @@ def qmatmul(x: jax.Array, w: Any) -> jax.Array:
             x2 = xf.reshape(-1, xf.shape[-1])
             out = _int8_act_matmul(x2, w.codes, w.scales)
             return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
-        if w.bits == 4:
-            from ..ops.qgemm import q4_matmul, q4_pallas_supported
+        if w.bits in (4, "nf4"):
+            from ..ops.qgemm import nf4_matmul, q4_matmul, q4_pallas_supported
 
             x2 = x.reshape(-1, x.shape[-1])
             k2, n = w.codes.shape
             if q4_pallas_supported(x2.shape[0], k2, n, w.scales.shape[0]):
                 # decode-sized row counts: fused Pallas kernel — HBM reads
-                # only the packed nibbles (half the int8 path's bytes)
-                out = q4_matmul(x2, w.codes, w.scales)
+                # only the packed nibbles (half the int8 path's bytes); nf4
+                # adds the in-kernel 16-entry LUT (select tree)
+                mm = nf4_matmul if w.bits == "nf4" else q4_matmul
+                out = mm(x2, w.codes, w.scales)
                 return out.reshape(*x.shape[:-1], -1).astype(x.dtype)
         # int4 group-wise at large row counts (MXU-bound — unpack+dequantize
         # into the GEMM, XLA fuses) and int2/int3: dequantized dot; fully

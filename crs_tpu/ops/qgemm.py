@@ -47,7 +47,23 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["q4_matmul", "q4_pallas_supported", "emulate_q4_matmul"]
+__all__ = [
+    "q4_matmul", "q4_pallas_supported", "emulate_q4_matmul",
+    "nf4_matmul", "emulate_nf4_matmul", "NF4_LEVELS",
+]
+
+# bitsandbytes' NF4 codebook: the 16 quantile-optimal levels of a standard
+# normal, normalized to [-1, 1] (QLoRA paper table; the reference consumes it
+# via BitsAndBytesConfig(load_in_4bit, bnb_4bit_quant_type="nf4") —
+# /root/reference/models/huggingface_model.py:59). Nonuniform: dequant is a
+# 16-entry LUT, not a scale multiply.
+NF4_LEVELS = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
+], dtype=np.float32)
 
 
 def _interpret() -> bool:
@@ -129,7 +145,53 @@ def _q4_kernel(xe_ref, xo_ref, codes_ref, scales_ref, out_ref, *, gpt: int, gs2:
         out_ref[:] = out_ref[:] + acc
 
 
-def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
+def _nf4_lookup(idx):
+    """16-entry NF4 LUT on a tile of nibble indices (0..15), evaluated as a
+    4-level binary select tree (15 tile-selects) — TPU has no lane-crossing
+    vector gather, and a one-hot MXU dot per tile would dwarf the weight DMA.
+    """
+    b = [(jnp.right_shift(idx, i) & 1) == 1 for i in range(4)]
+    cur = [jnp.float32(v) for v in NF4_LEVELS]
+    for bit in b:
+        cur = [jnp.where(bit, cur[2 * i + 1], cur[2 * i])
+               for i in range(len(cur) // 2)]
+    return cur[0]
+
+
+def _nf4_kernel(xe_ref, xo_ref, codes_ref, scales_ref, out_ref, *, gpt: int, gs2: int):
+    """NF4 variant of :func:`_q4_kernel`: unsigned nibble indices → LUT
+    (select tree) → fold group scales → two full-tile MXU dots."""
+    kstep = pl.program_id(2)
+    p32 = codes_ref[:].astype(jnp.int32)  # uint8 zero-extends
+    lo = _nf4_lookup(p32 & 0xF)           # rows 2i
+    hi = _nf4_lookup(jnp.right_shift(p32, 4) & 0xF)  # rows 2i+1
+    sl = scales_ref[0, :gpt, :]  # [gpt, Nt] f32
+    rep = jnp.broadcast_to(sl[:, None, :], (gpt, gs2, sl.shape[1]))
+    rep = rep.reshape(gpt * gs2, sl.shape[1]).astype(jnp.bfloat16)
+    wlo = lo.astype(jnp.bfloat16) * rep
+    whi = hi.astype(jnp.bfloat16) * rep
+    acc = jax.lax.dot_general(
+        xe_ref[:], wlo,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + jax.lax.dot_general(
+        xo_ref[:], whi,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kstep == 0)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(kstep > 0)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array,
+                kernel=_q4_kernel) -> jax.Array:
     r, k = x2.shape
     k2, n = codes.shape
     g = scales.shape[0]
@@ -159,7 +221,7 @@ def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array
 
     grid = (rp // rt, n // nt, nk)
     out = pl.pallas_call(
-        partial(_q4_kernel, gpt=gpt, gs2=gs2),
+        partial(kernel, gpt=gpt, gs2=gs2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rt, kt2), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
@@ -209,6 +271,64 @@ def _q4_bwd(res, grad):
 
 
 q4_matmul.defvjp(_q4_fwd, _q4_bwd)
+
+
+@jax.custom_vjp
+def nf4_matmul(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
+    """x2 [R, K] @ NF4-packed weight → [R, N] f32.
+
+    ``codes`` [K/2, N] uint8 (two UNSIGNED nibble indices per byte along K,
+    lo = even row), ``scales`` [K/group_size, N] f32 per-group absmax — the
+    :class:`QuantizedTensor` bits="nf4" layout. Same decode-row gate as
+    :func:`q4_matmul` (``q4_pallas_supported``); same even/odd activation-
+    plane trick, plus the in-kernel 16-entry LUT (select tree). TPU-native
+    equivalent of bitsandbytes' NF4 dequant-GEMV (reference
+    ``models/huggingface_model.py:59`` quantization_config)."""
+    return _q4_forward(x2, codes, scales, kernel=_nf4_kernel)
+
+
+def _nf4_dequant_w(codes: jax.Array, scales: jax.Array) -> jax.Array:
+    k2, n = codes.shape
+    g = scales.shape[0]
+    p32 = codes.astype(jnp.int32)
+    lut = jnp.asarray(NF4_LEVELS)
+    lo = jnp.take(lut, p32 & 0xF)
+    hi = jnp.take(lut, jnp.right_shift(p32, 4) & 0xF)
+    vals = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+    return (vals.reshape(g, (2 * k2) // g, n) * scales[:, None, :]).reshape(2 * k2, n)
+
+
+def _nf4_fwd(x2, codes, scales):
+    return nf4_matmul(x2, codes, scales), (codes, scales)
+
+
+def _nf4_bwd(res, grad):
+    codes, scales = res
+    w = _nf4_dequant_w(codes, scales)
+    dx = jnp.dot(grad, w.T, preferred_element_type=jnp.float32).astype(grad.dtype)
+    d_codes = np.zeros(codes.shape, jax.dtypes.float0)
+    d_scales = jnp.zeros_like(scales)
+    return dx, d_codes, d_scales
+
+
+nf4_matmul.defvjp(_nf4_fwd, _nf4_bwd)
+
+
+def emulate_nf4_matmul(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:
+    """XLA emulation of the NF4 kernel's exact arithmetic (bf16 activations,
+    LUT values × group scales folded into bf16 weights, f32 accumulation) —
+    the parity oracle for tests."""
+    p32 = codes.astype(jnp.int32)
+    lut = jnp.asarray(NF4_LEVELS)
+    lo = jnp.take(lut, p32 & 0xF)
+    hi = jnp.take(lut, jnp.right_shift(p32, 4) & 0xF)
+    vals = jnp.stack([lo, hi], axis=1).reshape(2 * codes.shape[0], codes.shape[1])
+    g = scales.shape[0]
+    k = 2 * codes.shape[0]
+    gs = k // g
+    scale_rows = jnp.repeat(scales, gs, axis=0)
+    w = vals.astype(jnp.bfloat16) * scale_rows.astype(jnp.bfloat16)
+    return jnp.dot(x2.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
 
 
 def emulate_q4_matmul(x2: jax.Array, codes: jax.Array, scales: jax.Array) -> jax.Array:

@@ -207,10 +207,10 @@ def test_quantized_model_info_sizes(tiny_model):
 
 
 def test_factory_aliases():
-    # gptq/awq now route to the CALIBRATED quantizers (quant_calib); the
-    # uncalibrated aliases stay plain int4 RTN
+    # gptq/awq route to the CALIBRATED quantizers (quant_calib); hqq stays
+    # plain int4 RTN; nf4 is the true nonuniform codebook (round 5)
     for alias, expected in (("gptq", "gptq4"), ("awq", "awq4"),
-                            ("hqq", "int4"), ("nf4", "int4")):
+                            ("hqq", "int4"), ("nf4", "nf4")):
         m = create_model_interface(alias, {"config": "tiny"})
         assert m.quantization == expected
     with pytest.raises(ValueError):
