@@ -137,10 +137,30 @@ class JaxModel(ModelInterface):
             return
         t0 = time.perf_counter()
         loaded = None
-        if self.model_path:
+        native_meta = (
+            os.path.join(self.model_path, "model_meta.json") if self.model_path else None
+        )
+        if native_meta and os.path.exists(native_meta):
+            # a native save_pretrained() directory (e.g. the self-trained LM,
+            # tools/selftrain_lm.py): load it through the same model_path
+            # config knob as HF checkpoints. The requested quantization (if
+            # any) is applied below to the full-precision base — unless the
+            # checkpoint was saved already-quantized.
+            requested_q = self.quantization
+            self.load_pretrained(self.model_path)
+            if requested_q and not self.quantization:
+                self.quantization = requested_q
+            loaded = (self.cfg, self.params)
+            already_quantized = bool(
+                json.load(open(native_meta)).get("quantization")
+            )
+        elif self.model_path:
             from .hf_loader import load_hf_causal_lm
 
             loaded = load_hf_causal_lm(self.model_path, dtype=self.dtype)
+            already_quantized = False
+        else:
+            already_quantized = False
         if loaded is not None:
             self.cfg, self.params = loaded
             self.tokenizer = _load_hf_tokenizer(self.model_path) or ByteTokenizer()
@@ -167,7 +187,9 @@ class JaxModel(ModelInterface):
             import dataclasses as _dc
 
             self.cfg = _dc.replace(self.cfg, kv_bits=self.kv_bits)
-        if self.quantization in ("int8", "int4", "int3", "int2", "nf4"):
+        if already_quantized:
+            pass  # native checkpoint already holds quantized leaves
+        elif self.quantization in ("int8", "int4", "int3", "int2", "nf4"):
             bits = "nf4" if self.quantization == "nf4" else int(self.quantization[3:])
             self.params = quantize_params(self.params, bits=bits, group_size=self.group_size)
         elif self.quantization and (

@@ -152,6 +152,9 @@ def decode_attention_int8(
         out_specs=pl.BlockSpec((1, 1, g, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, hd), jnp.float32),
         interpret=_interpret(),
+        # 100 MB Mosaic VMEM budget: the platform AOT path's 16 MB scoped
+        # default rejects grouped/double-buffered kernels (see pallas_scan)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(q, k_codes, ks4, v_codes, vs4, bias4)
     # All-masked rows: the bias form softmaxes to uniform-over-garbage where
     # the old select form gave exact zeros — restore that (and parity with

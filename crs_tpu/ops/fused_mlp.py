@@ -185,6 +185,9 @@ def fused_mlp_int8(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_ROWS, h), jnp.float32),
         interpret=_interpret(),
+        # 100 MB Mosaic VMEM budget: the platform AOT path's 16 MB scoped
+        # default rejects grouped/double-buffered kernels (see pallas_scan)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, norm_scale.reshape(1, h).astype(jnp.float32), sg,
       s_down.reshape(1, h).astype(jnp.float32), gate_t, up_t, down)
     return out[:b]

@@ -50,6 +50,15 @@ __all__ = ["pallas_topk", "pallas_topk_int8", "pallas_topk_pq_adc", "pallas_topk
 NEG_INF = -1e30
 _INT_BIG = 2**31 - 1
 
+# Mosaic kernel VMEM budget. The platform's AOT path enforces a 16 MB
+# scoped-VMEM default that the grouped scan kernels exceed (~68 MB per grid
+# step for the ADC kernels: grouped corpus windows x double buffering + the
+# one-hot score intermediates) — the r4 suite's 20M/40M/100M compiles all
+# failed on it. v5e VMEM is 128 MB; raising the per-kernel limit to 100 MB
+# was measured to restore compilation at every failing shape (r5 bisect)
+# with no runtime regression at the shapes that already compiled.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 
 def _default_kb(k: int, nblocks: int) -> int:
     """Winners per block when the caller didn't pin kb.
@@ -397,6 +406,7 @@ def pallas_topk(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(bias, q, vecs)
     out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
@@ -667,6 +677,7 @@ def pallas_topk_residual_pq_adc(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(bias, coarse_lut_p, lut, codes_p)
     out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
@@ -776,6 +787,7 @@ def pallas_topk_pq_adc(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(bias, lut, codes_p)
     out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
@@ -863,6 +875,7 @@ def pallas_topk_segmax(
             jax.ShapeDtypeStruct((nq, nblocks, kseg, qb), jnp.int32),
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(valid, q, vecs)
     out_s, out_i = _pin_hbm(out_s, out_i)
     return _finalize(out_s, out_i, b_real, k)
@@ -914,6 +927,7 @@ def pallas_topk_segmax_int8(
             jax.ShapeDtypeStruct((nq, nblocks, kseg, qb), jnp.int32),
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(valid, q_codes, qs, vecs, vs)
     out_s, out_i = _pin_hbm(out_s, out_i)
     return _finalize(out_s, out_i, b_real, k)
@@ -990,6 +1004,7 @@ def pallas_topk_int8(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(bias, q_codes, vecs, vs)
     out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)

@@ -232,6 +232,7 @@ def _q4_forward(x2: jax.Array, codes: jax.Array, scales: jax.Array,
         out_specs=pl.BlockSpec((rt, nt), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rp, n), jnp.float32),
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(xe, xo, codes, scales3)
     return out[:r]
 
