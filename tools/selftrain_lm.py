@@ -204,9 +204,9 @@ def main():
         return ids, mask, lmask
 
     # -- train step ------------------------------------------------------------
+    warmup = min(max(args.steps // 50, 10), max(args.steps // 2, 1))
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=max(args.steps // 50, 10),
-        decay_steps=args.steps)
+        0.0, args.lr, warmup_steps=warmup, decay_steps=args.steps + warmup)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(schedule, weight_decay=0.01))
     opt_state = tx.init(params)

@@ -94,6 +94,21 @@ def main() -> int:
         want = np.asarray(emulate_q4_matmul(x, qt.codes, qt.scales))
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
+    def nf4():
+        from crs_tpu.models.quantized import quantize_tensor
+        from crs_tpu.ops.qgemm import emulate_nf4_matmul, nf4_matmul
+
+        # round-5 NF4 kernel: the 4-level select-tree LUT is the new Mosaic
+        # surface (uint8 nibble extract + 15 tile-selects per plane)
+        qt = quantize_tensor(
+            rng.standard_normal((5632, 256)).astype(np.float32) * 0.1,
+            bits="nf4", group_size=128,
+        )
+        x = jnp.asarray(rng.standard_normal((2, 5632)).astype(np.float32))
+        got = np.asarray(nf4_matmul(x, qt.codes, qt.scales))
+        want = np.asarray(emulate_nf4_matmul(x, qt.codes, qt.scales))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
     def decode_attn():
         from crs_tpu.ops.decode_attention import (
             decode_attention_int8,
@@ -228,6 +243,7 @@ def main() -> int:
         ("pallas_topk_pq_adc", scan_pq),
         ("pallas_topk_residual_pq_adc", scan_residual_pq),
         ("q4_matmul", q4),
+        ("nf4_matmul", nf4),
         ("decode_attention_int8", decode_attn),
     ):
         ok = check(name, fn) and ok
