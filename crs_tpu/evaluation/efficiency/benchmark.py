@@ -89,6 +89,13 @@ class EfficiencyBenchmark(ModelBenchmark[EfficiencyResults]):
                         if out.get("mfu_percent") is not None else {})
 
             stage("mfu_batched", _batched_mfu)
+            # compute-bound regime (VERDICT r4 #6): prefill MFU at batch>=8
+            # — the one row where MFU is the honest efficiency metric
+            stage("prefill_mfu", lambda: latency.measure_prefill_mfu(
+                self.model,
+                batch=int(self.config.get("prefill_mfu_batch", 8)),
+                seq_len=int(self.config.get("prefill_mfu_seq_len", 512)),
+                dtype="int8" if (m.get("quantization") or "").startswith("int") else "bf16"))
             stage("bandwidth", lambda: flops.calculate_bandwidth_utilization(
                 m.get("model_size_gb"), m.get("decode_ms_per_token")))
 

@@ -22,7 +22,10 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["measure_latency", "measure_ttft", "measure_prefill_decode_latency"]
+__all__ = [
+    "measure_latency", "measure_ttft", "measure_prefill_decode_latency",
+    "measure_prefill_mfu",
+]
 
 _DEFAULT_PROMPTS = [
     "The key idea of model quantization is",
@@ -161,3 +164,55 @@ def measure_prefill_decode_latency(
     elif total_times:
         out["decode_ms_per_token"] = float(np.mean(total_times) * 1000.0 / max_new_tokens)
     return out
+
+
+def measure_prefill_mfu(
+    model,
+    batch: int = 8,
+    seq_len: int = 512,
+    num_runs: int = 5,
+    dtype: str = "bf16",
+) -> Dict[str, Any]:
+    """Compute-bound MFU: batched prefill over long prompts (VERDICT r4 #6).
+
+    Decode is bandwidth-bound, so its MFU is structurally tiny on any
+    hardware (the roofline row ``hbm_utilization_percent`` is the honest
+    decode metric); prefill is the regime where the MXU runs large matmuls
+    and MFU means what it says. Analytic FLOPs use the causal-average
+    attention span S/2, the same counting model as the reference's
+    ``estimate_flops`` (efficiency/flops.py:9-82).
+    """
+    cfg = getattr(model, "cfg", None)
+    if cfg is None:
+        return {}
+    seq_len = min(seq_len, cfg.max_seq_len)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, cfg.vocab_size, (batch, seq_len)).astype(np.int32)
+    try:
+        model.forward(ids)  # warm/compile
+        times = []
+        for _ in range(num_runs):
+            t0 = time.perf_counter()
+            out = model.forward(ids)
+            # fence on the last position only (full logits would ship
+            # batch·seq·vocab floats over the tunnel)
+            np.asarray(out[:, -1] if getattr(out, "ndim", 0) == 3 else out)
+            times.append(time.perf_counter() - t0)
+    except Exception as e:  # pragma: no cover
+        logger.warning("prefill MFU measurement failed: %s", e)
+        return {}
+    from .flops import calculate_mfu, flops_breakdown
+
+    dt = float(np.median(times))
+    bd = flops_breakdown(cfg, seq_len=seq_len // 2)
+    tok_per_s = batch * seq_len / dt
+    mfu = calculate_mfu(bd["total_flops_per_token"] / 1e9, tok_per_s, dtype=dtype)
+    if mfu.get("mfu_percent") is None:
+        return {}
+    return {
+        "prefill_mfu_percent": mfu["mfu_percent"],
+        "prefill_tflops_achieved": mfu.get("achieved_tflops"),
+        "prefill_batch": batch,
+        "prefill_seq_len": seq_len,
+        "prefill_tokens_per_sec": tok_per_s,
+    }

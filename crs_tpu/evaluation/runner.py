@@ -43,7 +43,8 @@ class ComprehensiveResults:
         if self.efficiency:
             for k in ("latency_ms_per_token", "ttft_ms", "throughput_tokens_per_sec",
                       "model_size_gb", "device_memory_peak_mb", "mfu_percent",
-                      "mfu_batched_percent", "hbm_gbps_achieved",
+                      "mfu_batched_percent", "prefill_mfu_percent",
+                      "hbm_gbps_achieved",
                       "hbm_utilization_percent", "decode_roofline",
                       "energy_per_token_mj"):
                 if self.efficiency.get(k) is not None:

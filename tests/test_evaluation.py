@@ -275,3 +275,17 @@ def test_efficiency_baseline_comparison():
     assert res.metrics["compression_ratio"] > 1.0  # tiny int8 << 1 GB
     assert res.metrics["speedup_vs_baseline"] > 1.0
     assert res.metrics["total_energy_kwh"] >= 0
+
+
+def test_prefill_mfu_row():
+    """Compute-bound MFU row (VERDICT r4 #6): batched prefill measurement
+    produces a positive MFU and the advertised batch/seq metadata."""
+    from crs_tpu.evaluation.efficiency.latency import measure_prefill_mfu
+    from crs_tpu.models.model_interface import create_model_interface
+
+    m = create_model_interface("jax", {"config": "tiny"})
+    m.load()
+    out = measure_prefill_mfu(m, batch=2, seq_len=64, num_runs=2)
+    assert out["prefill_mfu_percent"] > 0
+    assert out["prefill_batch"] == 2 and out["prefill_seq_len"] == 64
+    assert out["prefill_tokens_per_sec"] > 0
