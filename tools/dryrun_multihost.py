@@ -31,10 +31,12 @@ REPO = Path(__file__).resolve().parents[1]
 
 def worker(proc_id: int, num_procs: int, port: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=4").strip()
+    # FORCE 4 local devices, replacing any inherited count (pytest's conftest
+    # exports 8, which would make the global mesh 16-wide)
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    flags.append("--xla_force_host_platform_device_count=4")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
