@@ -121,7 +121,22 @@ def main():
     ap.add_argument("--holdout-frac", type=float, default=0.08)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--make-contexts", default=None, metavar="JSON",
+                    help="internal: build QA retrieval contexts and exit")
     args = ap.parse_args()
+
+    if args.make_contexts:
+        # context building is host-logic-heavy (lexical encoder fit, per-
+        # query retrieval): through the TPU tunnel every host sync costs
+        # ~0.75 s, so this phase runs in a CPU-pinned subprocess
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        qa_train, _, _ = qa_split()
+        ctxs = retrieve_contexts([x["question"] for x in qa_train])
+        Path(args.make_contexts).write_text(json.dumps(ctxs))
+        return
     if args.cpu:
         # env var alone is NOT enough: the image's sitecustomize re-pins the
         # axon platform in every interpreter (see tests/conftest.py)
@@ -154,9 +169,20 @@ def main():
     ]
     print(f"{len(windows)} corpus windows of {args.seq}", flush=True)
 
-    # -- QA-instruct samples --------------------------------------------------
+    # -- QA-instruct samples (contexts from a CPU-pinned subprocess) ----------
     qa_train, qa_eval, eval_idx = qa_split()
-    ctxs = retrieve_contexts([x["question"] for x in qa_train])
+    ctx_json = Path(args.out) / "train_contexts.json"
+    if not ctx_json.exists():
+        os.makedirs(args.out, exist_ok=True)
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        subprocess.run(
+            [sys.executable, __file__, "--make-contexts", str(ctx_json)],
+            check=True, env=env, timeout=1800,
+        )
+    ctxs = json.loads(ctx_json.read_text())
     qa_texts = []
     for item, ctx in zip(qa_train, ctxs):
         qa_texts.extend(qa_sample_texts(item, ctx))
@@ -242,13 +268,14 @@ def main():
     nll, count = 0.0, 0
     eval_windows = [held_ids[s:s + args.seq]
                     for s in range(0, max(len(held_ids) - 16, 1), args.seq)]
+    eval_loss = jax.jit(loss_fn)
     for w in eval_windows:
         ids = np.full((1, args.seq), tok.pad_id, np.int32)
         mask = np.zeros((1, args.seq), np.bool_)
         ids[0, :len(w)] = w
         mask[0, :len(w)] = True
-        lv = float(loss_fn(params, jnp.asarray(ids), jnp.asarray(mask),
-                           jnp.asarray(mask)))
+        lv = float(eval_loss(params, jnp.asarray(ids), jnp.asarray(mask),
+                             jnp.asarray(mask)))
         n = max(len(w) - 1, 1)
         nll += lv * n
         count += n
