@@ -381,10 +381,12 @@ def pallas_topk(
     bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
 
     def fallback():
+        # blockwise in BOTH cases: a dense [B, N] branch inside lax.cond is
+        # allocated even when never taken (measured 13.2 GB at B=256/10M)
         if row_mask is not None:
-            from .topk import exact_topk
+            from .topk import blockwise_topk
 
-            return exact_topk(vectors, queries, k, valid_n, row_mask=row_mask)
+            return blockwise_topk(vectors, queries, k, valid_n, row_mask=row_mask)
         from .topk import blockwise_topk
 
         return blockwise_topk(vectors, queries, k, valid_n)

@@ -74,6 +74,70 @@ def _rescore_candidates_jit(codes, scales, queries, cand_ok, cand_ids, k):
     return _rescore_candidates(codes, scales, queries, cand_ok, cand_ids, k)
 
 
+# past this many [B, N] score-matrix bytes the dense XLA body would not fit
+# HBM next to the corpus (measured: B=256 at 10M rows planned a 13.2 GB
+# program — the lax.cond fallback branch allocates even when never taken),
+# so the fallback goes blockwise: O(B·block) memory, identical results
+_INT8_DENSE_MAX_SCORE_BYTES = 1 << 30
+
+
+@partial(jax.jit, static_argnames=("k", "block_size"))
+def _int8_topk_xla_blockwise(
+    codes, scales, queries, k, valid_n=None, row_mask=None,
+    block_size: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """Blockwise exact-int8-score top-k via ``lax.scan`` — same result as
+    the dense body with rescore_k=0, O(B·block_size) peak memory."""
+    n, d = codes.shape
+    b = queries.shape[0]
+    q_codes, q_scales = scalar_quantize(queries)
+    num_blocks = -(-n // block_size)
+    padded = num_blocks * block_size
+    if padded != n:
+        codes = jnp.pad(codes, ((0, padded - n), (0, 0)))
+        scales = jnp.pad(scales, (0, padded - n))
+    mask = jnp.arange(padded) < (jnp.asarray(valid_n) if valid_n is not None else n)
+    if row_mask is not None:
+        mask = mask & jnp.pad(row_mask, (0, padded - n)) if padded != n \
+            else mask & row_mask
+    blocks = codes.reshape(num_blocks, block_size, d)
+    scale_blocks = scales.reshape(num_blocks, block_size)
+    mask_blocks = mask.reshape(num_blocks, block_size)
+
+    def scan_block(carry, inp):
+        best_s, best_i = carry
+        blk, blk_scales, blk_mask, blk_idx = inp
+        acc = jax.lax.dot_general(
+            q_codes, blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [B, bs]
+        s = acc.astype(jnp.float32) * q_scales[:, None] * blk_scales[None, :]
+        s = jnp.where(blk_mask[None, :], s, NEG_INF)
+        ids = blk_idx * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_size), 1)
+        ids = jnp.broadcast_to(ids, s.shape)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, min(k, cat_s.shape[1]))
+        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (
+        jnp.full((b, min(k, padded)), NEG_INF, jnp.float32),
+        jnp.full((b, min(k, padded)), -1, jnp.int32),
+    )
+    (top_s, top_i), _ = jax.lax.scan(
+        scan_block, init,
+        (blocks, scale_blocks, mask_blocks, jnp.arange(num_blocks, dtype=jnp.int32)),
+    )
+    if top_s.shape[1] < k:
+        pad = k - top_s.shape[1]
+        top_s = jnp.concatenate(
+            [top_s, jnp.full((b, pad), NEG_INF, jnp.float32)], axis=1)
+        top_i = jnp.concatenate([top_i, jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    return top_s, top_i
+
+
 @partial(jax.jit, static_argnames=("k", "rescore_k"))
 def _int8_topk_xla(
     codes, scales, queries, k, valid_n=None, rescore_k=0, row_mask=None
@@ -81,6 +145,9 @@ def _int8_topk_xla(
     """The non-routing XLA body of :func:`int8_topk` (also the Pallas
     kernel's exactness-fallback target — must never route back)."""
     n = codes.shape[0]
+    if rescore_k <= k and n * queries.shape[0] * 4 > _INT8_DENSE_MAX_SCORE_BYTES:
+        return _int8_topk_xla_blockwise(
+            codes, scales, queries, k, valid_n=valid_n, row_mask=row_mask)
     q_codes, q_scales = scalar_quantize(queries)
     acc = jax.lax.dot_general(
         q_codes,

@@ -66,6 +66,7 @@ def blockwise_topk(
     k: int,
     valid_n: jax.Array | int,
     block_size: int = 4096,
+    row_mask: jax.Array | None = None,  # [N] bool — metadata `where` filter
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k scanning the corpus in blocks via ``lax.scan``.
 
@@ -80,17 +81,24 @@ def blockwise_topk(
     if padded != n:
         vectors = jnp.pad(vectors, ((0, padded - n), (0, 0)))
     blocks = vectors.reshape(num_blocks, block_size, d)
+    mask_blocks = None
+    if row_mask is not None:
+        if padded != n:
+            row_mask = jnp.pad(row_mask, (0, padded - n))
+        mask_blocks = row_mask.reshape(num_blocks, block_size)
     q = queries.astype(vectors.dtype)
 
     def scan_block(carry, inp):
         best_s, best_i = carry
-        block, blk_idx = inp
+        block, blk_mask, blk_idx = inp
         s = jnp.dot(
             q, block.T, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [B, bs]
         ids = blk_idx * block_size + jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1)
         s = jnp.where(ids < valid_n, s, NEG_INF)
+        if blk_mask is not None:
+            s = jnp.where(blk_mask[None, :], s, NEG_INF)
         ids = jnp.broadcast_to(ids, s.shape)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate([best_i, ids], axis=1)
@@ -102,9 +110,16 @@ def blockwise_topk(
         jnp.full((b, k), NEG_INF, jnp.float32),
         jnp.full((b, k), -1, jnp.int32),
     )
-    (scores, ids), _ = jax.lax.scan(
-        scan_block, init, (blocks, jnp.arange(num_blocks, dtype=jnp.int32))
-    )
+    blk_idx = jnp.arange(num_blocks, dtype=jnp.int32)
+    if mask_blocks is None:
+        (scores, ids), _ = jax.lax.scan(
+            lambda c, inp: scan_block(c, (inp[0], None, inp[1])),
+            init, (blocks, blk_idx),
+        )
+    else:
+        (scores, ids), _ = jax.lax.scan(
+            scan_block, init, (blocks, mask_blocks, blk_idx)
+        )
     return scores, ids
 
 

@@ -263,3 +263,43 @@ def test_int8_topk_pallas_routing_parity():
         s_x, i_x = _int8_topk_xla(codes, scales, q, 10, valid, rescore_k=rk, row_mask=mask)
         np.testing.assert_array_equal(np.asarray(i_r), np.asarray(i_x))
         np.testing.assert_allclose(np.asarray(s_r), np.asarray(s_x), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_blockwise_fallback_matches_dense():
+    """The memory-bounded blockwise fallback body (round 5: the dense [B, N]
+    branch inside lax.cond allocated 13.2 GB at B=256/10M even when never
+    taken) must produce the dense body's exact results, mask included."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crs_tpu.ops.quant import (
+        _int8_topk_xla, _int8_topk_xla_blockwise, scalar_quantize,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((1000, 64)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    codes, scales = scalar_quantize(jnp.asarray(v))
+    q = jnp.asarray(v[:7] + 0.01 * rng.standard_normal((7, 64)).astype(np.float32))
+    mask = jnp.asarray(rng.random(1000) > 0.3)
+    s_d, i_d = _int8_topk_xla(codes, scales, q, 10, 970, rescore_k=0, row_mask=mask)
+    s_b, i_b = _int8_topk_xla_blockwise(
+        codes, scales, q, 10, 970, row_mask=mask, block_size=128)
+    np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_b))
+    np.testing.assert_allclose(np.asarray(s_d), np.asarray(s_b), rtol=1e-6)
+
+
+def test_blockwise_topk_row_mask():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from crs_tpu.ops.topk import blockwise_topk, exact_topk
+
+    rng = np.random.default_rng(12)
+    v = rng.standard_normal((500, 32)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    mask = jnp.asarray(rng.random(500) > 0.5)
+    s_e, i_e = exact_topk(jnp.asarray(v), jnp.asarray(q), 8, 480, row_mask=mask)
+    s_b, i_b = blockwise_topk(jnp.asarray(v), jnp.asarray(q), 8, 480,
+                              block_size=64, row_mask=mask)
+    np.testing.assert_array_equal(np.asarray(i_e), np.asarray(i_b))
