@@ -11,7 +11,7 @@ cd "$(dirname "$0")/.."
 
 run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
-  if [ -s "$OUT/$name.json" ] || [ -s "$OUT/$name.done" ]; then
+  if [ -s "$OUT/$name.json" ] || [ -e "$OUT/$name.done" ]; then
     echo "== $name: already done, skipping"; return
   fi
   echo "== $name"

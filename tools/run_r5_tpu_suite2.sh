@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 
 run() {
   local name=$1 t=$2; shift 2
-  if [ -s "$OUT/$name.json" ] || [ -s "$OUT/$name.done" ]; then
+  if [ -s "$OUT/$name.json" ] || [ -e "$OUT/$name.done" ]; then
     echo "== $name: already done, skipping"; return
   fi
   echo "== $name"
@@ -19,6 +19,11 @@ run() {
   if [ $rc -eq 0 ]; then touch "$OUT/$name.done"; fi
   return 0
 }
+
+# scan10m batch=256 retry: the dense [B,N] lax.cond fallback OOMed HBM in
+# the first attempt (13.2 GB program); the blockwise fallback (commit
+# 2137cf3) bounds it to O(B·block) — re-measure.
+run scan10m_b256_v2 2400 python tools/bench_scale.py --rows 10000000 --batch 256 --k 64
 
 # Prefill MFU at production dims (VERDICT r4 #6): the honest compute-bound
 # comparison vs the reference's 2.38% (T4 FP16)
