@@ -95,7 +95,7 @@ def main():
         cfg["rag"]["generation"]["max_context_chars"] = 1200
         cfg["rag"]["generation"]["max_new_tokens"] = 96
         p = cfg["evaluation"]["performance"]["perplexity"]
-        p["dataset"] = str(held_txt)
+        p["dataset_path"] = str(held_txt)  # local-file source (held-out tail)
         p["max_samples"] = 24
         p["max_length"] = 1024
         cfg["evaluation"]["retrieval"]["test_questions_file"] = str(qa_path)
