@@ -18,6 +18,7 @@ import logging
 import time
 from typing import Any, Dict, List, Optional, Sequence
 
+import jax
 import numpy as np
 
 logger = logging.getLogger(__name__)
@@ -188,15 +189,17 @@ def measure_prefill_mfu(
     seq_len = min(seq_len, cfg.max_seq_len)
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, (batch, seq_len)).astype(np.int32)
+    # forward() returns numpy — the full [B, S, V] f32 logits cross to the
+    # host every call (~0.5 GB at 1B dims; 20 s over the tunnel, which WAS
+    # the measured "prefill" time in the r5 suite). Prefer the on-device
+    # variant and fence with block_until_ready (completion wait, no fetch).
+    fwd = getattr(model, "forward_device", None) or model.forward
     try:
-        model.forward(ids)  # warm/compile
+        jax.block_until_ready(fwd(ids))  # warm/compile
         times = []
         for _ in range(num_runs):
             t0 = time.perf_counter()
-            out = model.forward(ids)
-            # fence on the last position only (full logits would ship
-            # batch·seq·vocab floats over the tunnel)
-            np.asarray(out[:, -1] if getattr(out, "ndim", 0) == 3 else out)
+            jax.block_until_ready(fwd(ids))
             times.append(time.perf_counter() - t0)
     except Exception as e:  # pragma: no cover
         logger.warning("prefill MFU measurement failed: %s", e)

@@ -380,6 +380,19 @@ class JaxModel(ModelInterface):
         ids = jnp.asarray(np.atleast_2d(input_ids), jnp.int32)
         return np.asarray(forward(self.params, self.cfg, ids))
 
+    def forward_device(self, input_ids) -> jax.Array:
+        """On-device forward: logits as a jax.Array, no host transfer.
+
+        ``forward()`` ships the full [B, S, V] f32 logits to the host for
+        API parity with the reference; over the axon tunnel that is ~0.5 GB
+        per call at 1B dims (measured 20 s — it was the entire "prefill"
+        time in the r5 suite). Timing and downstream-device consumers use
+        this method and fence with ``jax.block_until_ready``.
+        """
+        self._ensure()
+        ids = jnp.asarray(np.atleast_2d(input_ids), jnp.int32)
+        return forward(self.params, self.cfg, ids)
+
     # -- info (reference :84-106) -------------------------------------------
     def get_model_info(self) -> Dict[str, Any]:
         self._ensure()

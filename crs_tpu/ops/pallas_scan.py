@@ -54,10 +54,13 @@ _INT_BIG = 2**31 - 1
 # scoped-VMEM default that the grouped scan kernels exceed (~68 MB per grid
 # step for the ADC kernels: grouped corpus windows x double buffering + the
 # one-hot score intermediates) — the r4 suite's 20M/40M/100M compiles all
-# failed on it. v5e VMEM is 128 MB; raising the per-kernel limit to 100 MB
-# was measured to restore compilation at every failing shape (r5 bisect)
-# with no runtime regression at the shapes that already compiled.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# failed on it. v5e VMEM is 128 MB; 100 MB restored compilation at every
+# r5-bisect shape, but the residual-ADC kernel at m=16/group=8 needs
+# 104.07 MB (measured, r5 suite: pq_curve_4m/40m "exceeded scoped vmem
+# limit by 3.91M/4.07M" — row-count independent, it is the per-grid-step
+# one-hot working set). 112 MB covers it with 16 MB headroom left for the
+# surrounding program.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
 
 def _default_kb(k: int, nblocks: int) -> int:

@@ -236,6 +236,29 @@ def train_pq(
     return PQCodebook(centroids=centroids)
 
 
+# Encode row-block size: the assignment tables are [B, M, K] f32 — dots,
+# direction dots, and the combined score. At the old all-rows form a 1M-row
+# chunk materialized 3 × [1M, 12, 256] f32 ≈ 34 GB of HLO temps and the
+# aniso encode OOMed HBM on chip (r5 suite: "Used 17.17G of 15.75G" at BOTH
+# 4M and 40M rows — row-count-independent ⇒ the per-chunk tables). 64k rows
+# keep each table at ≤ 0.8 GB (M=16) while the einsums stay MXU-sized.
+_ENCODE_BLOCK_ROWS = 1 << 16
+
+
+def _pq_assign_block(centroids, c_norms, sub, dsl, aniso_eta):
+    """Nearest-codeword ids for one row block. sub/dsl: [B, M, Dsub]."""
+    dots = jnp.einsum("nmd,mkd->nmk", sub, centroids,
+                      preferred_element_type=jnp.float32)
+    score = 2.0 * dots - c_norms[None, :, :]  # maximize ⇔ min Euclidean
+    if dsl is not None and aniso_eta is not None:
+        w = jnp.float32(aniso_eta) - 1.0
+        udots = jnp.einsum("nmd,mkd->nmk", dsl, centroids,
+                           preferred_element_type=jnp.float32)
+        a = jnp.sum(sub * dsl, axis=2)  # [B, M] ⟨x, u⟩ per subspace
+        score = score - w * (a[..., None] - udots) ** 2
+    return jnp.argmax(score, axis=2)
+
+
 @jax.jit
 def pq_encode(
     codebook: PQCodebook,
@@ -249,22 +272,40 @@ def pq_encode(
     real on-device — int32 codes would quadruple the compressed corpus),
     int32 otherwise. With ``dirs`` + ``aniso_eta``, assignment minimizes the
     anisotropic loss the codebooks were trained under (one extra [N, M, K]
-    direction-table einsum — ~2× encode cost, nothing at query time)."""
+    direction-table einsum — ~2× encode cost, nothing at query time).
+    Rows are processed in ``_ENCODE_BLOCK_ROWS`` blocks via ``lax.map`` so
+    the [B, M, K] assignment tables never scale with N."""
     n, d = vectors.shape
     m, k, dsub = codebook.centroids.shape
-    sub = vectors.reshape(n, m, dsub)
-    dots = jnp.einsum("nmd,mkd->nmk", sub, codebook.centroids, preferred_element_type=jnp.float32)
     c_norms = jnp.sum(codebook.centroids**2, axis=2)  # [M, K]
-    score = 2.0 * dots - c_norms[None, :, :]  # maximize ⇔ min Euclidean
+    out_dtype = jnp.uint8 if k <= 256 else jnp.int32
+
+    if n <= _ENCODE_BLOCK_ROWS:
+        sub = vectors.reshape(n, m, dsub)
+        dsl = dirs.reshape(n, m, dsub) if (
+            dirs is not None and aniso_eta is not None) else None
+        return _pq_assign_block(
+            codebook.centroids, c_norms, sub, dsl, aniso_eta).astype(out_dtype)
+
+    bs = _ENCODE_BLOCK_ROWS
+    nb = -(-n // bs)
+    pad = nb * bs - n
+    vp = jnp.pad(vectors, ((0, pad), (0, 0))) if pad else vectors
+    sub_b = vp.reshape(nb, bs, m, dsub)
     if dirs is not None and aniso_eta is not None:
-        w = jnp.float32(aniso_eta) - 1.0
-        dsl = dirs.reshape(n, m, dsub)
-        udots = jnp.einsum("nmd,mkd->nmk", dsl, codebook.centroids,
-                           preferred_element_type=jnp.float32)
-        a = jnp.sum(sub * dsl, axis=2)  # [N, M] ⟨x, u⟩ per subspace
-        score = score - w * (a[..., None] - udots) ** 2
-    ids = jnp.argmax(score, axis=2)
-    return ids.astype(jnp.uint8 if k <= 256 else jnp.int32)
+        dp = jnp.pad(dirs, ((0, pad), (0, 0))) if pad else dirs
+        dsl_b = dp.reshape(nb, bs, m, dsub)
+        ids = jax.lax.map(
+            lambda xs: _pq_assign_block(
+                codebook.centroids, c_norms, xs[0], xs[1], aniso_eta),
+            (sub_b, dsl_b),
+        )
+    else:
+        ids = jax.lax.map(
+            lambda xs: _pq_assign_block(codebook.centroids, c_norms, xs, None, None),
+            sub_b,
+        )
+    return ids.reshape(nb * bs, m)[:n].astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -211,3 +211,31 @@ def test_aniso_kmeans_empty_cluster_robust():
     c = _kmeans_aniso(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(u),
                       16, 5, jnp.float32(8.0))
     assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_encode_blockwise_matches_all_rows(monkeypatch):
+    """pq_encode processes rows in _ENCODE_BLOCK_ROWS blocks (the all-rows
+    form materialized 3 x [N, M, K] f32 tables and OOMed HBM at 17.17G on
+    chip — r5 suite, row-count independent). Blocked == unblocked, plain
+    and aniso, including a block size that does not divide N."""
+    import jax
+    import jax.numpy as jnp
+
+    from crs_tpu.ops import pq
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1000, 32)).astype(np.float32)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cb = pq.train_pq(jax.random.PRNGKey(0), jnp.asarray(x),
+                     num_subspaces=4, num_clusters=16, num_iters=5)
+    plain = np.asarray(pq.pq_encode(cb, jnp.asarray(x)))
+    aniso = np.asarray(pq.pq_encode(cb, jnp.asarray(x), dirs=jnp.asarray(u),
+                                    aniso_eta=4.0))
+    monkeypatch.setattr(pq, "_ENCODE_BLOCK_ROWS", 96)  # pad path: 96 ∤ 1000
+    jax.clear_caches()
+    np.testing.assert_array_equal(plain, np.asarray(pq.pq_encode(cb, jnp.asarray(x))))
+    np.testing.assert_array_equal(
+        aniso,
+        np.asarray(pq.pq_encode(cb, jnp.asarray(x), dirs=jnp.asarray(u),
+                                aniso_eta=4.0)))
+    assert plain.dtype == np.uint8
