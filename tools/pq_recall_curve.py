@@ -155,6 +155,17 @@ def main():
         return v if v > 1.0 else None
 
     rows_out = []
+    # Resume: a crashed sweep re-runs with the same --out; skip every
+    # (m, coarse, eta, cand) combo already measured so re-runs neither
+    # duplicate rows nor repeat finished scans.
+    done_keys = set()
+    if args.out and os.path.exists(args.out):
+        for r in json.load(open(args.out)):
+            done_keys.add((r["rows"], r["m"], r["coarse"],
+                           r["aniso_eta"], r["cand"]))
+        if done_keys:
+            print(f"resume: {len(done_keys)} combos already in {args.out}",
+                  file=sys.stderr)
     q_np = np.asarray(queries)
     for m, coarse, eta_s in itertools.product(
         [int(x) for x in args.ms.split(",")],
@@ -162,6 +173,12 @@ def main():
         args.etas.split(","),
     ):
         eta = parse_eta(eta_s)
+        eta_key = 0.0 if eta is None else round(float(eta), 3)
+        cands = [int(x) for x in args.cands.split(",")]
+        if all((n, m, coarse, eta_key, c) in done_keys for c in cands):
+            print(f"resume: m={m} coarse={coarse} eta={eta_key} fully done, "
+                  "skipping", file=sys.stderr)
+            continue
         etag = "" if eta is None else f"_a{eta:.3g}"
         cpath = Path(args.cache_dir) / f"codes_{n}_m{m}_c{coarse}{etag}.npz"
         if cpath.exists():
@@ -196,7 +213,11 @@ def main():
                         + ext_dev[:, 1].astype(jnp.int32))
             codes_dev = ext_dev[:, 2:].astype(jnp.int32)
 
-        for cand in [int(x) for x in args.cands.split(",")]:
+        for cand in cands:
+            if (n, m, coarse, eta_key, cand) in done_keys:
+                print(f"resume: m={m} coarse={coarse} eta={eta_key} "
+                      f"cand={cand} done, skipping", file=sys.stderr)
+                continue
             if args.engine == "pallas":
                 def scan(q):
                     return pallas_topk_residual_pq_adc(
