@@ -581,16 +581,24 @@ def _scan_kernel_residual_pq_adc(
     # the coarse term carries the LARGE magnitudes (centroid dot products);
     # bf16 here loses ~0.4% — enough to reorder candidates whose difference
     # is a small residual term (measured: real-chip ids diverged from the
-    # f32 XLA oracle) — so the coarse one-hot dots run in f32. The residual
-    # dots stay bf16: their operands are small and on a common scale.
+    # f32 XLA oracle). But a FULL f32 dot costs ~3 bf16 MXU passes, and the
+    # coarse windows are the dominant matmul volume (num_coarse/256 of
+    # them). Split the LUT into hi + lo bf16 planes instead: the one-hot
+    # selects a single lane, so with f32 accumulation each row's coarse
+    # term is exactly hi[b,cid] + lo[b,cid] — f32-faithful to ~2^-17
+    # relative (vs bf16-alone's 2^-8) at 2 bf16 passes. The residual dots
+    # stay plain bf16: their operands are small and on a common scale.
     for c0 in range(0, num_coarse, 256):
-        onehot = ((cid - c0)[:, None] == lane256).astype(jnp.float32)  # [G·BS, 256]
+        onehot = ((cid - c0)[:, None] == lane256).astype(jnp.bfloat16)  # [G·BS, 256]
         lut_c = coarse_lut_ref[:, c0:c0 + 256]  # [QB, 256] f32
-        scores = scores + jax.lax.dot_general(
-            lut_c, onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        lut_hi = lut_c.astype(jnp.bfloat16)
+        lut_lo = (lut_c - lut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        for lut_part in (lut_hi, lut_lo):
+            scores = scores + jax.lax.dot_general(
+                lut_part, onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, num_clusters), 1)
     for m in range(m_sub):
         onehot = (codes_blk[:, m + 2][:, None] == cluster_ids).astype(jnp.bfloat16)

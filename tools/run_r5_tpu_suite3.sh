@@ -26,6 +26,12 @@ run() {  # run <name> <timeout_s> <cmd...>
   return 0
 }
 
+# Kernel A/B: split-bf16 coarse dots in the residual-ADC kernel. Codes for
+# 4M/m=12/c=2048 are cached from wave 1 (which measured 110.44 ms with the
+# f32-coarse kernel at cand=100) — this re-times just the scan.
+run pq_kernel_ab 3600 python -u tools/pq_recall_curve.py --rows 4000000 \
+    --ms 12 --coarses 2048 --cands 100 --out "$OUT/pq_kernel_ab.json"
+
 # Corrected prefill MFU (cheap; rerun first — old numbers measured the tunnel)
 run prefill_mfu_1b_bf16_v2  2400 python tools/bench_prefill_mfu.py --config 1b --type bf16
 run prefill_mfu_1b_int8_v2  2400 python tools/bench_prefill_mfu.py --config 1b --type int8
