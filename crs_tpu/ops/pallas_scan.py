@@ -43,7 +43,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_topk", "pallas_topk_int8", "pallas_topk_pq_adc", "pallas_topk_residual_pq_adc"]
+__all__ = [
+    "pallas_topk", "pallas_topk_int8", "pallas_topk_pq_adc",
+    "pallas_topk_residual_pq_adc", "pallas_topk_residual_pq_adc_sorted",
+    "adc_auto_group", "plan_sorted_coarse_windows",
+]
 
 # Plain Python scalars: jnp constants would be captured as traced consts,
 # which pallas_call rejects ("captures constants ... pass them as inputs").
@@ -555,6 +559,109 @@ def _scan_kernel_pq_adc(
                             out_s_ref, out_i_ref, g=g)
 
 
+def adc_auto_group(n: int, batch: int, block_size: int, code_cols: int,
+                   query_block: int = 128) -> int:
+    """The group (blocks per grid step) the ADC wrappers auto-pick for a
+    given geometry — public so callers of the sorted variant can compute the
+    per-tile coarse-window plan with the same tile size."""
+    qb = min(query_block, _round_up(batch, 8))
+    return _auto_group_adc(-(-n // block_size), block_size, qb, code_cols)
+
+
+def plan_sorted_coarse_windows(
+    counts: np.ndarray, n: int, block_size: int, group: int,
+) -> np.ndarray | None:
+    """Per-grid-tile coarse-window base for the sorted residual-ADC kernel.
+
+    ``counts`` = rows per coarse id ([C] ints, sum == n) of a corpus whose
+    ``codes_ext`` rows are sorted by coarse id
+    (:func:`crs_tpu.ops.pq.sort_codes_by_coarse`). Each grid tile covers
+    ``group·block_size`` consecutive rows; sortedness makes its coarse ids a
+    consecutive range, so the kernel only needs the 512-id aligned window
+    ``[256·base, 256·base + 512)`` around them instead of scanning all C ids
+    — the coarse one-hot matmuls drop from C/256 windows to 2. Returns the
+    int32 [ntiles] base array (units of 256 ids), or None when some tile
+    spans more than the window covers (pathologically tiny clusters) and the
+    caller must use the unsorted kernel.
+    """
+    counts = np.asarray(counts)
+    rows = group * block_size
+    n_pad = _round_up(max(n, 1), rows)
+    ntiles = n_pad // rows
+    cum = np.cumsum(counts)
+    if cum.size == 0 or int(cum[-1]) != n:
+        raise ValueError("plan_sorted_coarse_windows: counts must sum to n")
+    starts = np.arange(ntiles, dtype=np.int64) * rows
+    ends = np.minimum(starts + rows, n) - 1
+    # id of (0-based) row r in the sorted layout = first i with cum[i] > r
+    min_id = np.searchsorted(cum, starts, side="right")
+    max_id = np.searchsorted(cum, np.maximum(ends, starts), side="right")
+    pad_tiles = starts >= n  # fully-padded tail tiles: any valid base
+    min_id = np.where(pad_tiles, 0, min_id)
+    max_id = np.where(pad_tiles, 0, max_id)
+    base = (min_id // 256).astype(np.int32)
+    if np.any(max_id >= base.astype(np.int64) * 256 + 512):
+        return None
+    return base
+
+
+def _scan_kernel_residual_pq_adc_sorted(
+    wbase_ref, bias_ref, cw0_ref, cw1_ref, lut_ref, codes_ref,
+    out_s_ref, out_i_ref,
+    *, kb: int, block_size: int, num_clusters: int, group: int = 1,
+):
+    """Residual-PQ ADC scan over a coarse-id-SORTED corpus.
+
+    Identical math to :func:`_scan_kernel_residual_pq_adc`, but the corpus
+    rows are sorted by coarse id, so this grid tile's ids all fall inside
+    one 512-id window whose base rides in via scalar prefetch — the DMA
+    engine fetches just the two [QB, 256] coarse-LUT blocks (index maps
+    depend on ``wbase``), and the coarse one-hot matmuls shrink from
+    ``num_coarse/256`` windows to 2. At C=4096 that cuts the kernel's MXU
+    volume ~2.4× (the coarse term was 2/3 of the work: 16 windows × hi/lo
+    vs 16 residual subspaces). Exact by construction: the window plan
+    (:func:`plan_sorted_coarse_windows`) refuses geometries where any tile
+    escapes its window, so there is no in-kernel out-of-bounds case.
+    """
+    icg = pl.program_id(1)
+    qb = lut_ref.shape[0]
+    m_sub = lut_ref.shape[1]
+    rows = group * block_size
+    codes_blk = codes_ref[:].astype(jnp.int32)  # [G·BS, M+2]
+    cid = codes_blk[:, 0] * 256 + codes_blk[:, 1]  # [G·BS]
+    rel = cid - wbase_ref[icg] * 256  # in [0, 512) for every valid row
+    lane256 = jax.lax.broadcasted_iota(jnp.int32, (rows, 256), 1)
+    scores = jnp.zeros((qb, rows), jnp.float32)
+    # hi+lo bf16 split of the coarse term: see _scan_kernel_residual_pq_adc
+    for w, cref in ((0, cw0_ref), (1, cw1_ref)):
+        onehot = ((rel - w * 256)[:, None] == lane256).astype(jnp.bfloat16)
+        lut_c = cref[:]  # [QB, 256] f32
+        lut_hi = lut_c.astype(jnp.bfloat16)
+        lut_lo = (lut_c - lut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        for lut_part in (lut_hi, lut_lo):
+            scores = scores + jax.lax.dot_general(
+                lut_part, onehot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, num_clusters), 1)
+    for m in range(m_sub):
+        onehot = (codes_blk[:, m + 2][:, None] == cluster_ids).astype(jnp.bfloat16)
+        lut_m = lut_ref[:, m, :].astype(jnp.bfloat16)
+        scores = scores + jax.lax.dot_general(
+            lut_m, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    scores = scores + bias_ref[:]
+    base = icg * rows
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1)
+    for g in range(group):
+        sub = scores[:, g * block_size:(g + 1) * block_size]
+        _extract_block_topk(sub, col1 + base + g * block_size, kb,
+                            out_s_ref, out_i_ref, g=g)
+
+
 def _scan_kernel_residual_pq_adc(
     bias_ref, coarse_lut_ref, lut_ref, codes_ref, out_s_ref, out_i_ref,
     *, kb: int, block_size: int, num_clusters: int, num_coarse: int,
@@ -714,6 +821,141 @@ def pallas_topk_residual_pq_adc(
         """ADC scores of block ``bid[r]`` for query ``qidx[r]``: coarse LUT
         term (f32, like the kernel) + residual LUT terms gathered in bf16
         precision to mirror the kernel's bf16 one-hot dots."""
+        starts = bid * block_size
+        codes_blk = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(
+                codes_p, (st, 0), (block_size, m_sub + 2))
+        )(starts).astype(jnp.int32)  # [R, BS, M+2]
+        bias_blk = jax.vmap(
+            lambda st: jax.lax.dynamic_slice(bias[0], (st,), (block_size,))
+        )(starts)
+        cid = codes_blk[:, :, 0] * 256 + codes_blk[:, :, 1]  # [R, BS]
+        s = jnp.take_along_axis(coarse_lut_p[qidx], cid, axis=1)  # [R, BS] f32
+        lut_sel = lut[qidx].astype(jnp.bfloat16)  # [R, M, K]
+        for m in range(m_sub):
+            s = s + jnp.take_along_axis(
+                lut_sel[:, m, :], codes_blk[:, :, m + 2], axis=1
+            ).astype(jnp.float32)
+        return s + bias_blk
+
+    return _targeted_repair(
+        _flat_pool(out_s, b_real), _flat_pool(out_i, b_real),
+        top_s, top_i, ceilings, score_blocks, k,
+        block_size, nblocks, kb, b_real, repair, fallback,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "block_size", "query_block", "repair",
+                                   "group"))
+def pallas_topk_residual_pq_adc_sorted(
+    rotation: jax.Array,  # [D, D] f32 (OPQ)
+    coarse: jax.Array,  # [C, D] f32 coarse centroids (rotated space)
+    codebook_centroids: jax.Array,  # [M, K, Dsub] f32 (residual space)
+    codes_ext: jax.Array,  # [N, M+2] uint8, rows SORTED by coarse id
+    wbase: jax.Array,  # [ntiles] int32 from plan_sorted_coarse_windows
+    queries: jax.Array,  # [B, D] f32
+    k: int,
+    valid_n: jax.Array | int,
+    block_size: int = 2048,
+    query_block: int = 128,
+    row_mask: jax.Array | None = None,  # [N] bool, in SORTED row order
+    repair: int = 256,
+    group: int = 1,  # blocks per grid step; MUST match the wbase plan
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused residual-PQ ADC scan over a coarse-id-sorted corpus (IVF-style
+    layout). Returned ids are positions in the SORTED array — map back with
+    the permutation from :func:`crs_tpu.ops.pq.sort_codes_by_coarse`.
+
+    Callers compute ``group = adc_auto_group(n, B, block_size, M+2)`` and
+    ``wbase = plan_sorted_coarse_windows(counts, n, block_size, group)``;
+    a None plan means the layout is too fragmented for the 512-id window
+    and the unsorted kernel must be used instead.
+    """
+    n = codes_ext.shape[0]
+    m_sub = codes_ext.shape[1] - 2
+    num_clusters = codebook_centroids.shape[1]
+    num_coarse = coarse.shape[0]
+    assert num_coarse % 256 == 0, "coarse cluster count must be a multiple of 256"
+    assert group >= 1, "sorted variant needs the plan's explicit group"
+    b_real = queries.shape[0]
+    d = queries.shape[1]
+    dsub = d // m_sub
+    qb = min(query_block, _round_up(b_real, 8))
+    qr = jnp.dot(queries, rotation, preferred_element_type=jnp.float32)
+    coarse_lut = jnp.dot(qr, coarse.T, preferred_element_type=jnp.float32)  # [B, C]
+    q_sub = qr.reshape(b_real, m_sub, dsub)
+    lut = jnp.einsum(
+        "bmd,mkd->bmk", q_sub, codebook_centroids, preferred_element_type=jnp.float32
+    )
+    lut = _pad_rows(lut, qb)
+    coarse_lut_p = _pad_rows(coarse_lut, qb)
+    # +256 id lanes so the second window (wbase+1) never reads out of bounds
+    coarse_lut_w = jnp.pad(coarse_lut_p, ((0, 0), (0, 256)))
+    bp = lut.shape[0]
+    nq = bp // qb
+    codes_p = _pad_rows(codes_ext, group * block_size)
+    np_rows = codes_p.shape[0]
+    nblocks = np_rows // block_size
+    ntiles = nblocks // group
+    assert wbase.shape == (ntiles,), (
+        f"wbase plan has {wbase.shape[0]} tiles, geometry needs {ntiles} — "
+        "recompute plan_sorted_coarse_windows with this block_size/group")
+    kb = (_default_kb_repair(k, nblocks, b_real, repair) if repair
+          else _default_kb(k, nblocks))
+    allowed = jnp.arange(np_rows) < jnp.asarray(valid_n, jnp.int32)
+    if row_mask is not None:
+        allowed = allowed & _pad_rows(row_mask, np_rows)
+    bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nq, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, group * block_size), lambda iq, ic, wb: (0, ic)),
+            pl.BlockSpec((qb, 256), lambda iq, ic, wb: (iq, wb[ic])),
+            pl.BlockSpec((qb, 256), lambda iq, ic, wb: (iq, wb[ic] + 1)),
+            pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic, wb: (iq, 0, 0)),
+            pl.BlockSpec((group * block_size, m_sub + 2), lambda iq, ic, wb: (ic, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic, wb: (iq, ic, 0, 0)),
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic, wb: (iq, ic, 0, 0)),
+        ),
+    )
+    out_s, out_i = pl.pallas_call(
+        partial(
+            _scan_kernel_residual_pq_adc_sorted, kb=kb, block_size=block_size,
+            num_clusters=num_clusters, group=group,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.float32),
+            jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
+        ),
+        interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
+    )(wbase, bias, coarse_lut_w, coarse_lut_w, lut, codes_p)
+    out_s, out_i = _pin_hbm(out_s, out_i)
+    top_s, top_i = _finalize(out_s, out_i, b_real, k)
+    if k <= kb:
+        return top_s, top_i
+
+    def fallback():
+        from .pq import PQCodebook, ResidualPQ, residual_pq_adc_topk
+
+        cid = codes_ext[:, 0].astype(jnp.int32) * 256 + codes_ext[:, 1].astype(jnp.int32)
+        rpq = ResidualPQ(rotation=rotation, coarse=coarse, codebook=PQCodebook(codebook_centroids))
+        return residual_pq_adc_topk(
+            rpq, cid, codes_ext[:, 2:], queries, k, valid_n, row_mask=row_mask
+        )
+
+    ceilings = _block_ceilings(out_s, b_real, kb)
+    if not repair:
+        return _exact_or_fallback(ceilings, top_s, top_i, fallback)
+
+    def score_blocks(qidx, bid):
+        """Exact-gather ADC scores for flagged blocks — identical to the
+        unsorted variant (the gather is layout-agnostic)."""
         starts = bid * block_size
         codes_blk = jax.vmap(
             lambda st: jax.lax.dynamic_slice(

@@ -486,6 +486,29 @@ def residual_codes_ext(coarse_ids: jax.Array, codes: jax.Array) -> jax.Array:
     )
 
 
+def sort_codes_by_coarse(
+    codes_ext, num_coarse: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """IVF-style layout for the sorted residual-ADC kernel: stable-sort the
+    [N, M+2] codes by coarse id. Returns ``(sorted_ext, perm, counts)`` —
+    ``sorted_ext[r] == codes_ext[perm[r]]``, so kernel row ids map back to
+    original ids via ``perm`` (a [B, k] gather); ``counts[c]`` = rows in
+    coarse cluster c, the input of
+    :func:`crs_tpu.ops.pallas_scan.plan_sorted_coarse_windows`. Host-side
+    numpy on purpose: sorting is a one-time build cost and argsort of even
+    10^8 uint16 keys is seconds, not a device program worth compiling.
+    """
+    ext = np.asarray(codes_ext)
+    cid = ext[:, 0].astype(np.int64) * 256 + ext[:, 1].astype(np.int64)
+    perm = np.argsort(cid, kind="stable")
+    counts = np.bincount(cid, minlength=num_coarse)
+    if counts.shape[0] > num_coarse:
+        raise ValueError(
+            f"sort_codes_by_coarse: coarse id {int(cid.max())} >= num_coarse "
+            f"{num_coarse}")
+    return ext[perm], perm.astype(np.int32), counts.astype(np.int64)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def residual_pq_adc_topk(
     rpq: ResidualPQ,

@@ -47,7 +47,8 @@ def main():
     ap.add_argument("--etas", default="0",
                     help="aniso η values (comma list); 0=isotropic, "
                          "'auto'=ScaNN η(T=0.2, dim) — see ops/pq.py")
-    ap.add_argument("--engine", default="pallas", choices=("pallas", "xla"))
+    ap.add_argument("--engine", default="pallas",
+                    choices=("pallas", "xla", "pallas_sorted"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--block-size", type=int, default=2048)
     ap.add_argument("--out", default=None)
@@ -212,6 +213,25 @@ def main():
             cids_dev = (ext_dev[:, 0].astype(jnp.int32) * 256
                         + ext_dev[:, 1].astype(jnp.int32))
             codes_dev = ext_dev[:, 2:].astype(jnp.int32)
+        elif args.engine == "pallas_sorted":
+            from crs_tpu.ops.pallas_scan import (
+                adc_auto_group, pallas_topk_residual_pq_adc_sorted,
+                plan_sorted_coarse_windows,
+            )
+            from crs_tpu.ops.pq import sort_codes_by_coarse
+
+            t0 = time.perf_counter()
+            sorted_ext, perm, counts = sort_codes_by_coarse(ext_host, coarse)
+            group = adc_auto_group(n, args.batch, args.block_size, m + 2)
+            wbase = plan_sorted_coarse_windows(
+                counts, n, args.block_size, group)
+            assert wbase is not None, \
+                "layout too fragmented for the 512-id sorted window"
+            ext_dev = jnp.asarray(sorted_ext)  # replaces the unsorted copy
+            wbase_dev = jnp.asarray(wbase)
+            perm_dev = jnp.asarray(perm)
+            print(f"sorted layout in {time.perf_counter()-t0:.1f}s "
+                  f"(group={group}, tiles={wbase.shape[0]})", file=sys.stderr)
 
         for cand in cands:
             if (n, m, coarse, eta_key, cand) in done_keys:
@@ -223,6 +243,15 @@ def main():
                     return pallas_topk_residual_pq_adc(
                         rpq.rotation, rpq.coarse, rpq.codebook.centroids,
                         ext_dev, q, cand, n, args.block_size)
+            elif args.engine == "pallas_sorted":
+                def scan(q):
+                    s, i = pallas_topk_residual_pq_adc_sorted(
+                        rpq.rotation, rpq.coarse, rpq.codebook.centroids,
+                        ext_dev, wbase_dev, q, cand, n, args.block_size,
+                        group=group)
+                    # map sorted-row ids back to original corpus ids ON
+                    # DEVICE (one [B, cand] gather)
+                    return s, jnp.where(i >= 0, perm_dev[i], -1)
             else:
                 def scan(q):
                     return residual_pq_adc_topk(
