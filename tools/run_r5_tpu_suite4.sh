@@ -27,6 +27,17 @@ run() {  # run <name> <timeout_s> <cmd...>
 run pq_kernel_ab 3600 python -u tools/pq_recall_curve.py --rows 4000000 \
     --ms 12 --coarses 2048 --cands 100 --out "$OUT/pq_kernel_ab.json"
 
+# Sorted-coarse residual-ADC kernel A/B (new in r5 wave 4): same cells the
+# unsorted kernel measured in wave 3 — codes caches are shared, so only the
+# sort + scan run. Unsorted baselines: m=16/c=4096/cand=100 149.76 ms,
+# m=12/c=2048/cand=100 per pq_kernel_ab above.
+run pq_sorted_ab_m16 7200 python -u tools/pq_recall_curve.py --rows 4000000 \
+    --ms 16 --coarses 4096 --cands 100 --engine pallas_sorted \
+    --out "$OUT/pq_sorted_ab.json"
+run pq_sorted_ab_m12 7200 python -u tools/pq_recall_curve.py --rows 4000000 \
+    --ms 12 --coarses 2048 --cands 100 --engine pallas_sorted \
+    --out "$OUT/pq_sorted_ab.json"
+
 # Final headline sanity (the driver reruns this at round end; catching a
 # regression here is cheaper than in BENCH_r05.json)
 run bench_final 1200 python bench.py
