@@ -102,6 +102,13 @@ class VectorStore:
         # memmap serves it from the page cache (gathers fault in only the
         # candidate rows). Empty/None = keep the mirror in RAM.
         self.pq_host_mmap = config.get("pq_host_mmap") or None
+        # Round 5: IVF-style sorted-coarse layout for the fused residual-ADC
+        # scan — rows sorted by coarse id let each kernel grid tile use a
+        # 512-id coarse window instead of sweeping all C ids (~2.4x less
+        # kernel work at C=4096; see ops/pallas_scan.py sorted variant).
+        # Derived cache only: persistence stays in canonical (insertion)
+        # order and results map back through the sort permutation.
+        self.pq_sorted = bool(config.get("pq_sorted", False))
         self.seed = int(config.get("seed", 0))
         # Optional device mesh: corpus rows shard across the mesh's corpus
         # axis and queries run the shard_map scan + allgather merge
@@ -130,6 +137,10 @@ class VectorStore:
         # (_clear/add/load) — keying on self.n alone returned stale codes
         # after re-indexing a same-size corpus (ADVICE r2, medium)
         self._pq_codes_ext: Optional[jax.Array] = None
+        # sorted-coarse layout cache (pq_sorted): (sorted_ext_dev, perm_dev,
+        # counts_np) + per-group window plans; invalidated with _pq_codes_ext
+        self._pq_sorted_cache = None
+        self._pq_wbase: Dict[int, Optional[np.ndarray]] = {}
         # host-RAM rescore mirror (pq_rescore="host")
         self._codes_host: Optional[np.ndarray] = None
         self._scales_host: Optional[np.ndarray] = None
@@ -417,8 +428,7 @@ class VectorStore:
         # large k measured a ~250 ms exactness-fallback tail when a single
         # block held >4 of one query's top-k — ops/pallas_scan._default_kb).
         # Small corpora always use the one-matmul XLA path.
-        on_tpu = jax.default_backend() == "tpu"
-        use_pallas = on_tpu
+        use_pallas = self._use_pallas()
 
         if self.format in ("fp32", "bf16"):
             if use_pallas and self._vectors.shape[0] >= 4 * self.block_size:
@@ -457,7 +467,7 @@ class VectorStore:
         """Device ADC scan over the compressed codes → (scores, ids) of the
         top ``cand_k`` rows, routed through the fused Pallas kernels above
         the ≥4·block_size threshold (single-device path)."""
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = self._use_pallas()
         if self._rpq is not None:
             if (
                 use_pallas
@@ -465,6 +475,10 @@ class VectorStore:
                 and self._rpq.coarse.shape[0] % 256 == 0
                 and self._rpq.coarse.shape[0] <= 65536  # two-byte coarse id
             ):
+                if self.pq_sorted:
+                    res = self._sorted_adc_candidates(q, cand_k, row_mask)
+                    if res is not None:
+                        return res  # None = plan refused → unsorted kernel
                 from ..ops.pallas_scan import pallas_topk_residual_pq_adc
 
                 return pallas_topk_residual_pq_adc(
@@ -508,6 +522,52 @@ class VectorStore:
         s = np.take_along_axis(exact, sel, axis=1)
         i = np.take_along_axis(cand, sel, axis=1)
         return s.astype(np.float32), i.astype(np.int32)
+
+    def _use_pallas(self) -> bool:
+        """Fused-kernel routing gate (the kernels themselves run interpret
+        mode off-TPU, but the XLA paths are faster on CPU)."""
+        return jax.default_backend() == "tpu"
+
+    def _sorted_adc_candidates(
+        self, q: jax.Array, cand_k: int, row_mask: jax.Array | None
+    ) -> Optional[Tuple[jax.Array, jax.Array]]:
+        """pq_sorted=True: route the residual-ADC scan through the sorted-
+        coarse (IVF-window) kernel. Returns None when the window planner
+        refuses this corpus/geometry (caller falls back to the unsorted
+        kernel — same results, more coarse matmul work)."""
+        from ..ops.pallas_scan import (
+            adc_auto_group, pallas_topk_residual_pq_adc_sorted,
+            plan_sorted_coarse_windows,
+        )
+
+        if self._pq_sorted_cache is None:
+            from ..ops.pq import sort_codes_by_coarse
+
+            ext = np.asarray(self._residual_ext())[: self.n]
+            sorted_ext, perm, counts = sort_codes_by_coarse(
+                ext, int(self._rpq.coarse.shape[0]))
+            self._pq_sorted_cache = (
+                jnp.asarray(sorted_ext), jnp.asarray(perm), counts)
+            self._pq_wbase = {}
+        ext_dev, perm_dev, counts = self._pq_sorted_cache
+        group = adc_auto_group(
+            self.n, q.shape[0], self.block_size, ext_dev.shape[1])
+        if group not in self._pq_wbase:
+            self._pq_wbase[group] = plan_sorted_coarse_windows(
+                counts, self.n, self.block_size, group)
+        wbase = self._pq_wbase[group]
+        if wbase is None:
+            return None
+        mask_s = None
+        if row_mask is not None:
+            mask_s = row_mask[: self.n][perm_dev]
+        s, i = pallas_topk_residual_pq_adc_sorted(
+            self._rpq.rotation, self._rpq.coarse,
+            self._rpq.codebook.centroids, ext_dev, jnp.asarray(wbase),
+            q, cand_k, self.n, self.block_size, row_mask=mask_s, group=group,
+        )
+        # map sorted-row ids back to canonical ids on device
+        return s, jnp.where(i >= 0, perm_dev[i], -1)
 
     def _residual_ext(self) -> jax.Array:
         """Cached [N, M+2] uint8 layout for the fused residual-PQ scan
@@ -754,6 +814,8 @@ class VectorStore:
                 new_codes = pq_encode(self._pq_codebook, blk, bdirs, eta)
             self._pq_codes = upd(self._pq_codes, new_codes, start)
             self._pq_codes_ext = None  # fused-scan layout cache is now stale
+            self._pq_sorted_cache = None
+            self._pq_wbase = {}
             if self.pq_rescore == "int8":
                 codes, scales = scalar_quantize(jnp.asarray(block, jnp.float32))
                 self._codes = upd(self._codes, codes, start)
@@ -984,6 +1046,8 @@ class VectorStore:
         self._pq_codes = self._pq_codebook = None
         self._rpq = self._pq_coarse_ids = None
         self._pq_codes_ext = None
+        self._pq_sorted_cache = None
+        self._pq_wbase = {}
         self._md_cols = {}  # same-length reload must not serve stale columns
         self._codes_host = self._scales_host = None
         if "codes_host" in arrays:

@@ -124,6 +124,76 @@ def test_planner_covers_padding_tiles():
     assert wb is not None and wb.shape == (1,) and wb[0] == 0
 
 
+def test_store_pq_sorted_matches_unsorted():
+    """VectorStore(pq_sorted=True) must return the same ids/scores as the
+    default store through the fused path (gate forced on for CPU CI)."""
+    import jax.numpy as jnp
+
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(7)
+    n, d = 4096, 64
+    centers = rng.standard_normal((30, d)).astype(np.float32)
+    x = centers[rng.integers(30, size=n)] + 0.2 * rng.standard_normal(
+        (n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    texts = [f"t{i}" for i in range(n)]
+    cfg = {"format": "pq", "block_size": 512, "pq_subspaces": 8,
+           "pq_coarse_clusters": 256, "pq_iters": 8, "pq_opq_iters": 1,
+           "rescore_k": 32}
+    q = jnp.asarray(x[:4] + 0.01 * rng.standard_normal((4, d)).astype(np.float32))
+
+    stores = {}
+    for name, sorted_flag in (("plain", False), ("sorted", True)):
+        s = VectorStore({**cfg, "pq_sorted": sorted_flag})
+        s._use_pallas = lambda: True  # force the fused gate on CPU
+        s.create_index(texts, x)
+        stores[name] = s.search_batch_dev(q, 5)
+    s_p, i_p = stores["plain"]
+    s_s, i_s = stores["sorted"]
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_p),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_store_pq_sorted_cache_invalidated_on_add():
+    """Incremental add must rebuild the sorted layout (stale perm would
+    return wrong ids)."""
+    import jax.numpy as jnp
+
+    from crs_tpu.rag.index import VectorStore
+
+    rng = np.random.default_rng(9)
+    n, d = 2048, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cfg = {"format": "pq", "block_size": 256, "pq_subspaces": 4,
+           "pq_coarse_clusters": 256, "pq_iters": 5, "pq_opq_iters": 1,
+           "rescore_k": 16}
+    extra = rng.standard_normal((64, d)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    qe = jnp.asarray(np.concatenate([x[:2], extra[:2]]))
+
+    results = {}
+    for name, flag in (("plain", False), ("sorted", True)):
+        s = VectorStore({**cfg, "pq_sorted": flag})
+        s._use_pallas = lambda: True
+        s.create_index([f"t{i}" for i in range(n)], x)
+        s.search_batch_dev(jnp.asarray(x[:2]), 3)  # build caches pre-add
+        if flag:
+            assert s._pq_sorted_cache is not None
+        s.add([f"n{i}" for i in range(64)], extra)
+        if flag:
+            assert s._pq_sorted_cache is None  # invalidated by the add
+        results[name] = s.search_batch_dev(qe, 5)
+    s_p, i_p = results["plain"]
+    s_s, i_s = results["sorted"]
+    # post-add parity: a stale perm would misreport ids here
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_p),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_sort_codes_by_coarse_roundtrip():
     from crs_tpu.ops.pq import sort_codes_by_coarse
 
