@@ -81,6 +81,9 @@ def main():
                          "'auto'=ScaNN η(T=0.2, dim) — see ops/pq.py")
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (smoke/shape runs)")
+    ap.add_argument("--sorted-coarse", action="store_true",
+                    help="IVF layout: sort rows by coarse id and scan with "
+                         "the per-tile 512-id window kernel (r5)")
     ap.add_argument("--mirror-mmap", default=None,
                     help="back the host rescore mirror with raw memmap "
                          "files at this path prefix (enables host-rescored "
@@ -249,6 +252,23 @@ def main():
     print(f"ground truth in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     # serving: fused residual-PQ ADC scan over the ext codes
+    if args.sorted_coarse:
+        from crs_tpu.ops.pallas_scan import (
+            adc_auto_group, pallas_topk_residual_pq_adc_sorted,
+            plan_sorted_coarse_windows,
+        )
+        from crs_tpu.ops.pq import sort_codes_by_coarse
+
+        t0 = time.perf_counter()
+        ext_host, perm, counts = sort_codes_by_coarse(ext_host, args.coarse)
+        group = adc_auto_group(n, args.batch, args.block_size, m + 2)
+        wbase = plan_sorted_coarse_windows(counts, n, args.block_size, group)
+        assert wbase is not None, \
+            "layout too fragmented for the 512-id sorted window"
+        wbase_dev = jnp.asarray(wbase)
+        perm_dev = jnp.asarray(perm)
+        print(f"sorted layout in {time.perf_counter()-t0:.1f}s "
+              f"(group={group}, tiles={wbase.shape[0]})", file=sys.stderr)
     ext_dev = jnp.asarray(ext_host)
     jax.block_until_ready(ext_dev)
     hbm_bytes = ext_dev.size  # uint8
@@ -259,11 +279,19 @@ def main():
     # takes the codes as an ARGUMENT — a closure here would bake the [N, M+2]
     # codes into the HLO as a constant and blow the remote-compile request
     # past its ~100 MB limit (HTTP 413; STATUS lesson (c), hit at 40M rows)
-    def scan(q):
-        return pallas_topk_residual_pq_adc(
-            rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext_dev,
-            q, args.cand, n, args.block_size,
-        )
+    if args.sorted_coarse:
+        def scan(q):
+            s, i = pallas_topk_residual_pq_adc_sorted(
+                rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext_dev,
+                wbase_dev, q, args.cand, n, args.block_size, group=group,
+            )
+            return s, jnp.where(i >= 0, perm_dev[i], -1)
+    else:
+        def scan(q):
+            return pallas_topk_residual_pq_adc(
+                rpq.rotation, rpq.coarse, rpq.codebook.centroids, ext_dev,
+                q, args.cand, n, args.block_size,
+            )
     adc_s, adc_i = scan(queries)
     jax.block_until_ready(adc_i)
     t0 = time.perf_counter()
@@ -291,6 +319,7 @@ def main():
         "recall_at_k_none": recall(adc_i_np),
         "recall_k_in_cand": recall(adc_i_np, width=args.cand),
         "cand": args.cand, "k": args.k,
+        "sorted_coarse": bool(args.sorted_coarse),
     }
     if host_mirror:
         rows = np.clip(adc_i_np, 0, n - 1)

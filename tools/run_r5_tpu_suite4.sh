@@ -38,6 +38,11 @@ run pq_sorted_ab_m12 7200 python -u tools/pq_recall_curve.py --rows 4000000 \
     --ms 12 --coarses 2048 --cands 100 --engine pallas_sorted \
     --out "$OUT/pq_sorted_ab.json"
 
+# 40M sorted-coarse serving A/B (codes cache shared with the wave-3
+# pq40m_aniso_v2 run; only sort + scan run fresh)
+run pq40m_sorted 7200 python -u tools/bench_pq_serving.py --rows 40000000 \
+    --aniso-eta auto --codes-cache /tmp/pq40m_aniso_codes.npz --sorted-coarse
+
 # Final headline sanity (the driver reruns this at round end; catching a
 # regression here is cheaper than in BENCH_r05.json)
 run bench_final 1200 python bench.py
