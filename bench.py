@@ -43,16 +43,20 @@ def _emit_skipped(reason: str) -> None:
     )
 
 
-def _backend_available() -> bool:
+def _backend_available() -> tuple:
     """Probe the device backend in a SUBPROCESS with a hard timeout: the
     round-3 axon outage mode was a hang (tunnel accepts nothing, trivial
-    matmuls never return), which no in-process try/except can bound."""
-    # 120s proved too tight in practice: axon init + first trivial compile
-    # alone measured 54-94s on a loaded 1-core host (r4 suite logs), and the
-    # tunnel serializes clients, so a concurrent bench can delay the probe by
-    # minutes. The outage mode this guards against is an INDEFINITE hang, so
-    # a generous timeout cannot false-negative a real outage.
-    timeout_s = float(os.environ.get("CRS_TPU_BENCH_PROBE_TIMEOUT", "420"))
+    matmuls never return), which no in-process try/except can bound.
+
+    Returns (ok, detail) — detail distinguishes probe-timeout (tunnel busy,
+    warming up after VM boot, or down) from probe-error (stderr tail)."""
+    # 420s proved too tight in practice: axon tunnel warm-up after a VM boot
+    # measured >7 min (r5 wave-6 logs: a probe at boot+17min timed out while
+    # a client 30s later connected fine), and the tunnel serializes whole
+    # client sessions, so ANY concurrent job delays a new client's init
+    # indefinitely. The outage mode this guards against is an INDEFINITE
+    # hang, so a generous timeout cannot false-negative a real outage.
+    timeout_s = float(os.environ.get("CRS_TPU_BENCH_PROBE_TIMEOUT", "900"))
     code = (
         "import jax, jax.numpy as jnp; "
         "assert float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()) == 512.0"
@@ -68,19 +72,22 @@ def _backend_available() -> bool:
         cmd = shlex.split(override)
     else:
         cmd = [sys.executable, "-c", code]
+    detail = "probe-failed"
     for attempt in range(2):  # one retry: init-time blips are transient
         try:
             r = subprocess.run(cmd, timeout=timeout_s, capture_output=True)
             if r.returncode == 0:
-                return True
+                return True, ""
+            tail = r.stderr.decode(errors="replace").strip().splitlines()
+            detail = f"probe-rc{r.returncode}: {tail[-1][:200] if tail else ''}"
         except subprocess.TimeoutExpired:
             # The guarded failure mode is an INDEFINITE hang — a retry after
             # a full timeout just doubles outage-detection latency with no
             # chance of success (ADVICE r4).
-            return False
-        except OSError:
-            pass
-    return False
+            return False, f"probe-timeout-{int(timeout_s)}s (tunnel busy/warming/down)"
+        except OSError as e:
+            detail = f"probe-oserror: {e}"
+    return False, detail
 
 
 def main() -> None:
@@ -149,8 +156,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if not _backend_available():
-        _emit_skipped("tpu-unavailable")
+    ok, detail = _backend_available()
+    if not ok:
+        _emit_skipped(f"tpu-unavailable ({detail})")
         sys.exit(0)
     try:
         main()
