@@ -606,7 +606,7 @@ def plan_sorted_coarse_windows(
 
 
 def _scan_kernel_residual_pq_adc_sorted(
-    wbase_ref, bias_ref, cw0_ref, cw1_ref, lut_ref, codes_ref,
+    wbase_ref, bias_ref, coarse_lut_ref, lut_ref, codes_ref,
     out_s_ref, out_i_ref,
     *, kb: int, block_size: int, num_clusters: int, group: int = 1,
 ):
@@ -614,14 +614,19 @@ def _scan_kernel_residual_pq_adc_sorted(
 
     Identical math to :func:`_scan_kernel_residual_pq_adc`, but the corpus
     rows are sorted by coarse id, so this grid tile's ids all fall inside
-    one 512-id window whose base rides in via scalar prefetch — the DMA
-    engine fetches just the two [QB, 256] coarse-LUT blocks (index maps
-    depend on ``wbase``), and the coarse one-hot matmuls shrink from
-    ``num_coarse/256`` windows to 2. At C=4096 that cuts the kernel's MXU
-    volume ~2.4× (the coarse term was 2/3 of the work: 16 windows × hi/lo
-    vs 16 residual subspaces). Exact by construction: the window plan
-    (:func:`plan_sorted_coarse_windows`) refuses geometries where any tile
-    escapes its window, so there is no in-kernel out-of-bounds case.
+    one 512-id window. The FULL [QB, C+256] coarse LUT stays resident in
+    VMEM (constant index map — same as the unsorted kernel; ≤2.2 MB at
+    C=4096); the tile's window is a dynamic 512-lane slice at the
+    scalar-prefetched base, so the coarse one-hot matmuls shrink from
+    ``num_coarse/256`` windows to 2 with ZERO extra DMA. (A first version
+    instead DMA'd two [QB, 256] LUT blocks per tile via wbase-dependent
+    index maps — measured 3.9× SLOWER than the unsorted kernel at 4M
+    rows/m=12/C=2048: the per-tile data-dependent fetches defeat the
+    pipeline and add ~60% DMA volume. Resident-LUT + in-kernel slice keeps
+    the MXU saving without touching the DMA schedule.) Exact by
+    construction: the window plan (:func:`plan_sorted_coarse_windows`)
+    refuses geometries where any tile escapes its window, so there is no
+    in-kernel out-of-bounds case.
     """
     icg = pl.program_id(1)
     qb = lut_ref.shape[0]
@@ -629,21 +634,21 @@ def _scan_kernel_residual_pq_adc_sorted(
     rows = group * block_size
     codes_blk = codes_ref[:].astype(jnp.int32)  # [G·BS, M+2]
     cid = codes_blk[:, 0] * 256 + codes_blk[:, 1]  # [G·BS]
-    rel = cid - wbase_ref[icg] * 256  # in [0, 512) for every valid row
-    lane256 = jax.lax.broadcasted_iota(jnp.int32, (rows, 256), 1)
+    wb = wbase_ref[icg]
+    rel = cid - wb * 256  # in [0, 512) for every valid row
+    lane512 = jax.lax.broadcasted_iota(jnp.int32, (rows, 512), 1)
     scores = jnp.zeros((qb, rows), jnp.float32)
     # hi+lo bf16 split of the coarse term: see _scan_kernel_residual_pq_adc
-    for w, cref in ((0, cw0_ref), (1, cw1_ref)):
-        onehot = ((rel - w * 256)[:, None] == lane256).astype(jnp.bfloat16)
-        lut_c = cref[:]  # [QB, 256] f32
-        lut_hi = lut_c.astype(jnp.bfloat16)
-        lut_lo = (lut_c - lut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        for lut_part in (lut_hi, lut_lo):
-            scores = scores + jax.lax.dot_general(
-                lut_part, onehot,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    lut_c = coarse_lut_ref[:, pl.ds(wb * 256, 512)]  # [QB, 512] f32, aligned
+    onehot = (rel[:, None] == lane512).astype(jnp.bfloat16)
+    lut_hi = lut_c.astype(jnp.bfloat16)
+    lut_lo = (lut_c - lut_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    for lut_part in (lut_hi, lut_lo):
+        scores = scores + jax.lax.dot_general(
+            lut_part, onehot,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     cluster_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, num_clusters), 1)
     for m in range(m_sub):
         onehot = (codes_blk[:, m + 2][:, None] == cluster_ids).astype(jnp.bfloat16)
@@ -912,8 +917,10 @@ def pallas_topk_residual_pq_adc_sorted(
         grid=(nq, ntiles),
         in_specs=[
             pl.BlockSpec((1, group * block_size), lambda iq, ic, wb: (0, ic)),
-            pl.BlockSpec((qb, 256), lambda iq, ic, wb: (iq, wb[ic])),
-            pl.BlockSpec((qb, 256), lambda iq, ic, wb: (iq, wb[ic] + 1)),
+            # full coarse LUT resident in VMEM — constant index map, so the
+            # pipeline never re-fetches it; the kernel slices the tile's
+            # 512-lane window at the scalar-prefetched base
+            pl.BlockSpec((qb, num_coarse + 256), lambda iq, ic, wb: (iq, 0)),
             pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic, wb: (iq, 0, 0)),
             pl.BlockSpec((group * block_size, m_sub + 2), lambda iq, ic, wb: (ic, 0)),
         ],
@@ -934,7 +941,7 @@ def pallas_topk_residual_pq_adc_sorted(
         ),
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(wbase, bias, coarse_lut_w, coarse_lut_w, lut, codes_p)
+    )(wbase, bias, coarse_lut_w, lut, codes_p)
     out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
     if k <= kb:
