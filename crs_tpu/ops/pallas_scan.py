@@ -606,7 +606,7 @@ def plan_sorted_coarse_windows(
 
 
 def _scan_kernel_residual_pq_adc_sorted(
-    wbase_ref, bias_ref, coarse_lut_ref, lut_ref, codes_ref,
+    bias_ref, wbase_ref, coarse_lut_ref, lut_ref, codes_ref,
     out_s_ref, out_i_ref,
     *, kb: int, block_size: int, num_clusters: int, group: int = 1,
 ):
@@ -616,25 +616,29 @@ def _scan_kernel_residual_pq_adc_sorted(
     rows are sorted by coarse id, so this grid tile's ids all fall inside
     one 512-id window. The FULL [QB, C+256] coarse LUT stays resident in
     VMEM (constant index map — same as the unsorted kernel; ≤2.2 MB at
-    C=4096); the tile's window is a dynamic 512-lane slice at the
-    scalar-prefetched base, so the coarse one-hot matmuls shrink from
-    ``num_coarse/256`` windows to 2 with ZERO extra DMA. (A first version
-    instead DMA'd two [QB, 256] LUT blocks per tile via wbase-dependent
-    index maps — measured 3.9× SLOWER than the unsorted kernel at 4M
-    rows/m=12/C=2048: the per-tile data-dependent fetches defeat the
-    pipeline and add ~60% DMA volume. Resident-LUT + in-kernel slice keeps
-    the MXU saving without touching the DMA schedule.) Exact by
-    construction: the window plan (:func:`plan_sorted_coarse_windows`)
-    refuses geometries where any tile escapes its window, so there is no
-    in-kernel out-of-bounds case.
+    C=4096); the tile's window base arrives as a tiny per-tile [1, 128]
+    int32 block (a NORMAL pipelined input — 512 B/step) and selects a
+    dynamic 512-lane slice, so the coarse one-hot matmuls shrink from
+    ``num_coarse/256`` windows to 2 with no meaningful extra DMA.
+
+    Two chip-measured designs preceded this one (results/RESULTS_TPU.md
+    wave 6): v1 DMA'd two [QB, 256] LUT blocks per tile via
+    wbase-dependent PrefetchScalarGridSpec index maps (3.9× SLOWER than
+    unsorted at 4M/m=12/C=2048); v2 kept the LUT resident but still used
+    scalar prefetch for the base (3.5× slower at 4M/m=16/C=4096 — within
+    noise of v1). Both losing by the same factor with opposite DMA
+    schedules implicates the PrefetchScalarGridSpec itself (it pessimizes
+    the pipeline's handling of the resident inputs), hence v3 avoids it
+    entirely. Exact by construction: the window plan
+    (:func:`plan_sorted_coarse_windows`) refuses geometries where any tile
+    escapes its window, so there is no in-kernel out-of-bounds case.
     """
-    icg = pl.program_id(1)
     qb = lut_ref.shape[0]
     m_sub = lut_ref.shape[1]
     rows = group * block_size
     codes_blk = codes_ref[:].astype(jnp.int32)  # [G·BS, M+2]
     cid = codes_blk[:, 0] * 256 + codes_blk[:, 1]  # [G·BS]
-    wb = wbase_ref[icg]
+    wb = wbase_ref[0, 0]
     rel = cid - wb * 256  # in [0, 512) for every valid row
     lane512 = jax.lax.broadcasted_iota(jnp.int32, (rows, 512), 1)
     scores = jnp.zeros((qb, rows), jnp.float32)
@@ -659,7 +663,7 @@ def _scan_kernel_residual_pq_adc_sorted(
             preferred_element_type=jnp.float32,
         )
     scores = scores + bias_ref[:]
-    base = icg * rows
+    base = pl.program_id(1) * rows
     col1 = jax.lax.broadcasted_iota(jnp.int32, (qb, block_size), 1)
     for g in range(group):
         sub = scores[:, g * block_size:(g + 1) * block_size]
@@ -912,36 +916,40 @@ def pallas_topk_residual_pq_adc_sorted(
         allowed = allowed & _pad_rows(row_mask, np_rows)
     bias = jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32).reshape(1, -1)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nq, ntiles),
-        in_specs=[
-            pl.BlockSpec((1, group * block_size), lambda iq, ic, wb: (0, ic)),
-            # full coarse LUT resident in VMEM — constant index map, so the
-            # pipeline never re-fetches it; the kernel slices the tile's
-            # 512-lane window at the scalar-prefetched base
-            pl.BlockSpec((qb, num_coarse + 256), lambda iq, ic, wb: (iq, 0)),
-            pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic, wb: (iq, 0, 0)),
-            pl.BlockSpec((group * block_size, m_sub + 2), lambda iq, ic, wb: (ic, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, group, kb, qb), lambda iq, ic, wb: (iq, ic, 0, 0)),
-            pl.BlockSpec((1, group, kb, qb), lambda iq, ic, wb: (iq, ic, 0, 0)),
-        ),
-    )
+    # v3: NO PrefetchScalarGridSpec — both scalar-prefetch designs measured
+    # ~3.5-3.9× slower than the unsorted kernel (see kernel docstring). The
+    # per-tile window base rides as a normal [ntiles, 128] int32 input
+    # (512 B/step of pipelined DMA); every other spec matches the unsorted
+    # kernel exactly, so the pipeline treats the resident LUTs identically.
+    wbase_tiled = jnp.broadcast_to(
+        jnp.asarray(wbase, jnp.int32)[:, None], (ntiles, 128))
     out_s, out_i = pl.pallas_call(
         partial(
             _scan_kernel_residual_pq_adc_sorted, kb=kb, block_size=block_size,
             num_clusters=num_clusters, group=group,
         ),
-        grid_spec=grid_spec,
+        grid=(nq, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, group * block_size), lambda iq, ic: (0, ic)),
+            pl.BlockSpec((1, 128), lambda iq, ic: (ic, 0)),
+            # full coarse LUT resident in VMEM — constant index map, so the
+            # pipeline never re-fetches it; the kernel slices the tile's
+            # 512-lane window at the per-tile base
+            pl.BlockSpec((qb, num_coarse + 256), lambda iq, ic: (iq, 0)),
+            pl.BlockSpec((qb, m_sub, num_clusters), lambda iq, ic: (iq, 0, 0)),
+            pl.BlockSpec((group * block_size, m_sub + 2), lambda iq, ic: (ic, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic: (iq, ic, 0, 0)),
+            pl.BlockSpec((1, group, kb, qb), lambda iq, ic: (iq, ic, 0, 0)),
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.float32),
             jax.ShapeDtypeStruct((nq, nblocks, kb, qb), jnp.int32),
         ),
         interpret=_interpret(),
         compiler_params=_COMPILER_PARAMS,
-    )(wbase, bias, coarse_lut_w, lut, codes_p)
+    )(bias, wbase_tiled, coarse_lut_w, lut, codes_p)
     out_s, out_i = _pin_hbm(out_s, out_i)
     top_s, top_i = _finalize(out_s, out_i, b_real, k)
     if k <= kb:

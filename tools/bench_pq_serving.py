@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -130,7 +131,17 @@ def main():
         eta = eta if eta > 1.0 else None
 
     if cache and Path(cache).exists():
-        data = np.load(cache)
+        try:
+            data = np.load(cache)
+            data["rows"]  # force the zip directory read now
+        except Exception as e:  # truncated by a killed run — rebuild
+            print(f"codes cache {cache} unreadable ({e}); rebuilding",
+                  file=sys.stderr)
+            Path(cache).unlink()
+            data = None
+    else:
+        data = None
+    if data is not None:
         assert int(data["rows"]) == n and int(data["m"]) == m, "cache mismatch"
         cached_eta = float(data["aniso_eta"]) if "aniso_eta" in data else 0.0
         assert cached_eta == (eta or 0.0), \
@@ -222,11 +233,13 @@ def main():
             # embedding 38 GB into the npz would defeat it
             extra = ({"mirror": mirror, "mirror_scales": mirror_scales}
                      if host_mirror and not args.mirror_mmap else {})
-            np.savez(cache, rows=n, m=m, ext=ext_host,
+            # atomic: a killed run must not leave a truncated npz behind
+            np.savez(cache + ".tmp.npz", rows=n, m=m, ext=ext_host,
                      aniso_eta=eta or 0.0,
                      rotation=np.asarray(rpq.rotation),
                      coarse=np.asarray(rpq.coarse),
                      centroids=np.asarray(rpq.codebook.centroids), **extra)
+            os.replace(cache + ".tmp.npz", cache)
             print(f"saved codes cache {cache}", file=sys.stderr)
 
     # exact fp32 ground truth: regenerate chunks, device matmul, host merge

@@ -70,6 +70,23 @@ def main():
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from bench_pq_serving import CHUNK, _gen_chunk
 
+    def load_npz(path):
+        """np.load that treats a truncated file (killed run) as a miss."""
+        if not Path(path).exists():
+            return None
+        try:
+            z = np.load(path)
+            z.files  # force the zip directory read
+            return z
+        except Exception as e:
+            print(f"cache {path} unreadable ({e}); rebuilding", file=sys.stderr)
+            Path(path).unlink()
+            return None
+
+    def savez_atomic(path, **kw):
+        np.savez(str(path) + ".tmp.npz", **kw)
+        os.replace(str(path) + ".tmp.npz", path)
+
     n, d = args.rows, args.dim
     assert n % CHUNK == 0 or n < CHUNK
     chunk = min(CHUNK, n)
@@ -102,8 +119,9 @@ def main():
         return jax.lax.top_k(s, args.k)
 
     gt_cache = Path(args.cache_dir) / f"truth_{n}_{args.batch}_{args.k}.npz"
-    if gt_cache.exists():
-        truth = np.load(gt_cache)["truth"]
+    gt_z = load_npz(gt_cache)
+    if gt_z is not None:
+        truth = gt_z["truth"]
     else:
         t0 = time.perf_counter()
         best_s = np.full((args.batch, 0), -np.inf, np.float32)
@@ -117,7 +135,7 @@ def main():
             best_s = np.take_along_axis(best_s, sel, axis=1)
             best_i = np.take_along_axis(best_i, sel, axis=1)
         truth = best_i
-        np.savez(gt_cache, truth=truth)
+        savez_atomic(gt_cache, truth=truth)
         print(f"ground truth in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     def recall(pred, width):
@@ -128,8 +146,8 @@ def main():
 
     # host int8 mirror for the rescore recall (regenerate per corpus, once)
     mir_cache = Path(args.cache_dir) / f"mirror_{n}.npz"
-    if mir_cache.exists():
-        mdat = np.load(mir_cache)
+    mdat = load_npz(mir_cache)
+    if mdat is not None:
         mirror, mirror_scales = mdat["mirror"], mdat["scales"]
     else:
         mirror = np.empty((n, d), np.int8)
@@ -146,7 +164,7 @@ def main():
             qc, qs = quant(gen(chunk_keys[ci]))
             mirror[ci * chunk:(ci + 1) * chunk] = np.asarray(qc)
             mirror_scales[ci * chunk:(ci + 1) * chunk] = np.asarray(qs)
-        np.savez(mir_cache, mirror=mirror, scales=mirror_scales)
+        savez_atomic(mir_cache, mirror=mirror, scales=mirror_scales)
 
     def parse_eta(s):
         s = s.strip()
@@ -182,8 +200,8 @@ def main():
             continue
         etag = "" if eta is None else f"_a{eta:.3g}"
         cpath = Path(args.cache_dir) / f"codes_{n}_m{m}_c{coarse}{etag}.npz"
-        if cpath.exists():
-            data = np.load(cpath)
+        data = load_npz(cpath)
+        if data is not None:
             rpq = ResidualPQ(rotation=jnp.asarray(data["rotation"]),
                              coarse=jnp.asarray(data["coarse"]),
                              codebook=PQCodebook(jnp.asarray(data["centroids"])))
@@ -202,9 +220,9 @@ def main():
                 cids, codes = enc(gen(chunk_keys[ci]))
                 ext_host[ci * chunk:(ci + 1) * chunk] = np.asarray(
                     residual_codes_ext(cids, codes))
-            np.savez(cpath, ext=ext_host, rotation=np.asarray(rpq.rotation),
-                     coarse=np.asarray(rpq.coarse),
-                     centroids=np.asarray(rpq.codebook.centroids))
+            savez_atomic(cpath, ext=ext_host, rotation=np.asarray(rpq.rotation),
+                         coarse=np.asarray(rpq.coarse),
+                         centroids=np.asarray(rpq.codebook.centroids))
             print(f"m={m} coarse={coarse}: trained+encoded in "
                   f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
 
