@@ -616,8 +616,8 @@ def _scan_kernel_residual_pq_adc_sorted(
     rows are sorted by coarse id, so this grid tile's ids all fall inside
     one 512-id window. The FULL [QB, C+256] coarse LUT stays resident in
     VMEM (constant index map — same as the unsorted kernel; ≤2.2 MB at
-    C=4096); the tile's window base arrives as a tiny per-tile [1, 128]
-    int32 block (a NORMAL pipelined input — 512 B/step) and selects a
+    C=4096); the tile's window base arrives as a tiny per-tile [1, 8, 128]
+    int32 block (a NORMAL pipelined input — 4 KB/step) and selects a
     dynamic 512-lane slice, so the coarse one-hot matmuls shrink from
     ``num_coarse/256`` windows to 2 with no meaningful extra DMA.
 
@@ -638,7 +638,7 @@ def _scan_kernel_residual_pq_adc_sorted(
     rows = group * block_size
     codes_blk = codes_ref[:].astype(jnp.int32)  # [G·BS, M+2]
     cid = codes_blk[:, 0] * 256 + codes_blk[:, 1]  # [G·BS]
-    wb = wbase_ref[0, 0]
+    wb = wbase_ref[0, 0, 0]
     rel = cid - wb * 256  # in [0, 512) for every valid row
     lane512 = jax.lax.broadcasted_iota(jnp.int32, (rows, 512), 1)
     scores = jnp.zeros((qb, rows), jnp.float32)
@@ -918,11 +918,12 @@ def pallas_topk_residual_pq_adc_sorted(
 
     # v3: NO PrefetchScalarGridSpec — both scalar-prefetch designs measured
     # ~3.5-3.9× slower than the unsorted kernel (see kernel docstring). The
-    # per-tile window base rides as a normal [ntiles, 128] int32 input
-    # (512 B/step of pipelined DMA); every other spec matches the unsorted
+    # per-tile window base rides as a normal pipelined [ntiles, 8, 128]
+    # int32 input (4 KB/step of pipelined DMA; Mosaic requires the last two
+    # block dims be (8k, 128k)); every other spec matches the unsorted
     # kernel exactly, so the pipeline treats the resident LUTs identically.
     wbase_tiled = jnp.broadcast_to(
-        jnp.asarray(wbase, jnp.int32)[:, None], (ntiles, 128))
+        jnp.asarray(wbase, jnp.int32)[:, None, None], (ntiles, 8, 128))
     out_s, out_i = pl.pallas_call(
         partial(
             _scan_kernel_residual_pq_adc_sorted, kb=kb, block_size=block_size,
@@ -931,7 +932,7 @@ def pallas_topk_residual_pq_adc_sorted(
         grid=(nq, ntiles),
         in_specs=[
             pl.BlockSpec((1, group * block_size), lambda iq, ic: (0, ic)),
-            pl.BlockSpec((1, 128), lambda iq, ic: (ic, 0)),
+            pl.BlockSpec((1, 8, 128), lambda iq, ic: (ic, 0, 0)),
             # full coarse LUT resident in VMEM — constant index map, so the
             # pipeline never re-fetches it; the kernel slices the tile's
             # 512-lane window at the per-tile base
